@@ -1,0 +1,221 @@
+"""Circuit and Solution: the user-facing solve API.
+
+Mirrors the reference's documented entry pattern (reference nodal.py:8-13):
+
+    from nodal_tpu import Circuit, Netlist
+    circuit = Circuit(Netlist("netlist.csv"), sparse=True)
+    print(circuit.solve())
+
+but the implementation is a netlist compiler + jitted device kernels rather
+than a Python stamping loop.  ``Circuit`` compiles the netlist once to static
+stamp tensors; ``solve()`` assembles and solves on-device.
+
+Error policy (uniform across dense and sparse paths — fixes reference quirk
+Q3, where the sparse path silently printed NaNs on singular systems,
+SURVEY.md §2.4):  after every solve the relative residual
+``max|G x - b| / max(|b|, 1)`` is checked.  A non-finite or large-residual
+solution triggers the connectivity diagnosis (reference nodal.py:328-335):
+an unreachable-from-ground node raises :class:`UnconnectedCircuitError`,
+otherwise ``numpy.linalg.LinAlgError`` propagates, same surface as the
+reference.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from numpy.linalg import LinAlgError
+
+import jax
+import jax.numpy as jnp
+
+from nodal_tpu.models.stamps import Quirks, StampTensors, compile_stamps
+from nodal_tpu.netlist import Netlist, UnconnectedCircuitError, is_connected
+from nodal_tpu.ops.assemble import assemble_dense
+from nodal_tpu.ops import dense_solve
+
+logger = logging.getLogger(__name__)
+
+# Relative-residual ceiling above which a solve is declared failed.  Scaled
+# for ill-conditioned but solvable systems (the OPMODEL macromodel reaches
+# cond ~1e12 in f64: residual stays ~1e-4 relative at worst).
+_RESIDUAL_TOL = {np.dtype(np.float32): 3e-2, np.dtype(np.float64): 1e-3}
+
+# Below this many unknowns a single solve runs on the host CPU backend:
+# accelerator compile latency (seconds on a remote TPU) dwarfs any device
+# win on tiny systems.  Batched sweeps and grid solves target the
+# accelerator explicitly regardless (nodal_tpu.batch / nodal_tpu.ops.grid).
+_SMALL_SYSTEM_N = int(os.environ.get("NODAL_TPU_SMALL_SYSTEM_N", "2048"))
+
+
+def default_dtype():
+    """float64 when x64 is enabled (parity/CLI mode), else float32 (TPU
+    fast path)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class Circuit:
+    """A compiled circuit: netlist lowered to stamp tensors + solver choice.
+
+    Args:
+        netlist: a finalized :class:`Netlist`.
+        sparse: parity flag with the reference CLI ``-s`` — selects the
+            iterative/sparse backend instead of dense LU.
+        dtype: numeric dtype for assembly and solve; default follows
+            :func:`default_dtype`.
+        quirks: reference bit-compatibility switches.
+    """
+
+    def __init__(
+        self,
+        netlist: Netlist,
+        sparse: bool = False,
+        *,
+        dtype=None,
+        quirks: Quirks | None = None,
+        device=None,
+    ):
+        if not isinstance(netlist, Netlist):
+            raise TypeError("Input isn't a netlist")
+        self.netlist = netlist
+        self.sparse = bool(sparse)
+        self.dtype = np.dtype(dtype) if dtype is not None else np.dtype(default_dtype())
+        self.device = _resolve_device(device)
+        self.stamps: StampTensors = compile_stamps(netlist, quirks)
+
+    def _device_scope(self):
+        """Device placement policy: explicit device wins; otherwise small
+        systems solve on the host CPU backend (compile latency >> compute),
+        big ones on the default accelerator."""
+        dev = self.device
+        if dev is None and self.stamps.n < _SMALL_SYSTEM_N:
+            dev = _cpu_device_or_none()
+        return jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+
+    # -- solving ---------------------------------------------------------------
+
+    def solve(self) -> "Solution":
+        """Assemble and solve ``G e = b``; return a printable Solution.
+
+        Raises UnconnectedCircuitError for floating subcircuits and
+        numpy.linalg.LinAlgError for genuinely singular systems, like the
+        reference (nodal.py:313-336).
+        """
+        with self._device_scope():
+            params = jnp.asarray(self.stamps.params, dtype=self.dtype)
+            if self.sparse:
+                from nodal_tpu.ops.sparse import solve_sparse_system
+
+                x, info = solve_sparse_system(self.stamps, params, dtype=self.dtype)
+                residual = info.residual
+            else:
+                x, residual = self._solve_dense(params)
+
+        x = np.asarray(x, dtype=np.float64)
+        if not self._acceptable(float(residual)) or not np.all(np.isfinite(x)):
+            x, residual = self._rescue()
+            if not self._acceptable(float(residual), np.float64) or not np.all(
+                np.isfinite(x)
+            ):
+                self._raise_singular()
+        return Solution(x, self.netlist)
+
+    def _solve_dense(self, params):
+        G, b = assemble_dense(self.stamps, params, dtype=self.dtype)
+        x = dense_solve.solve_auto(G, b, self.dtype)
+        residual = _rel_residual(G.astype(x.dtype), b.astype(x.dtype), x)
+        return x, residual
+
+    def _rescue(self):
+        """Last-resort native-f64 solve on the host CPU backend, for systems
+        too ill-conditioned for the primary path (e.g. f32-factored opamp
+        macromodels)."""
+        logger.debug("primary solve failed residual check; retrying on CPU f64")
+        G, b = assemble_dense(self.stamps, self.stamps.params, dtype=jnp.float64)
+        try:
+            x = dense_solve.solve_on_cpu(G, b)
+            residual = _rel_residual(G, b, x)
+            return np.asarray(x, dtype=np.float64), float(residual)
+        except Exception:  # pragma: no cover - backend-specific failures
+            return np.full(self.stamps.n, np.nan), np.inf
+
+    def _acceptable(self, residual: float, dtype=None) -> bool:
+        tol = _RESIDUAL_TOL[np.dtype(dtype) if dtype else self.dtype]
+        return np.isfinite(residual) and residual <= tol
+
+    def _raise_singular(self):
+        if not is_connected(self.netlist):
+            logger.error("Model error: unconnected circuit")
+            raise UnconnectedCircuitError
+        logger.error("Model error: matrix is singular")
+        raise LinAlgError("Singular matrix")
+
+    # -- inspection (parity helpers) --------------------------------------------
+
+    def build_model(self):
+        """Materialize ``(G, b)`` as numpy arrays — debugging/parity helper
+        mirroring the reference Circuit.build_model output (nodal.py:338-398)."""
+        G, b = assemble_dense(self.stamps, self.stamps.params, dtype=jnp.float64)
+        return np.asarray(G), np.asarray(b)
+
+
+def _resolve_device(device):
+    """Accept None, a jax Device, or a platform string ('cpu'/'tpu'/...)."""
+    if device is None or not isinstance(device, str):
+        return device
+    return jax.devices(device)[0]
+
+
+def _cpu_device_or_none():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - no CPU backend registered
+        return None
+
+
+def _rel_residual(G, b, x):
+    r = b - jnp.dot(G, x, precision=jax.lax.Precision.HIGHEST)
+    return jnp.max(jnp.abs(r)) / jnp.maximum(jnp.max(jnp.abs(b)), 1.0)
+
+
+@dataclass
+class Solution:
+    """Solved circuit variables, printable in the reference's format
+    (reference nodal.py:401-434).
+
+    ``result[:kcl]`` are node potentials indexed by ``nodenum``;
+    ``result[kcl:]`` are branch currents of anomalous components indexed by
+    ``anomnum``.
+    """
+
+    result: np.ndarray
+    netlist: Netlist
+
+    def __post_init__(self):
+        self.nodenum = self.netlist.nodenum
+        self.anomnum = self.netlist.anomnum
+        self.nums = self.netlist.nums
+        self.ground = self.netlist.ground
+
+    def potential(self, node: str) -> float:
+        """Node potential in volts; ground is the 0 V reference."""
+        if node == self.ground:
+            return 0.0
+        return float(self.result[self.nodenum[node]])
+
+    def current(self, name: str) -> float:
+        """Branch current (ampere) of an anomalous component."""
+        return float(self.result[self.nums["kcl"] + self.anomnum[name]])
+
+    def __str__(self) -> str:
+        out = [f"Ground node: {self.ground}"]
+        for name in sorted(self.nodenum):
+            out.append(f"e({name}) \t= {self.result[self.nodenum[name]]}")
+        for name in sorted(self.anomnum):
+            i = self.nums["kcl"] + self.anomnum[name]
+            out.append(f"i({name}) \t= {self.result[i]}")
+        return "\n".join(out)

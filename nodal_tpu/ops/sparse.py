@@ -1,0 +1,119 @@
+"""Sparse MNA path: deduplicated COO operator + Krylov solve.
+
+Replaces the reference's ``dok_matrix`` stamping + SuperLU ``spsolve``
+(reference nodal.py:349-350, 325).  The stamp COO entries are deduplicated
+and row-sorted once on the host; on device, parameter values fold into the
+deduped slots with one ``segment_sum`` and the matvec is a gather +
+multiply + row-``segment_sum`` — all static-shape, so sweeps ``vmap`` over
+values only.
+
+Solver selection: a purely resistive netlist yields the grounded Laplacian,
+which is SPD → preconditioned CG.  Branch equations (E/controlled sources)
+make the system indefinite/asymmetric → BiCGStab.  Jacobi preconditioning
+skips zero diagonals (voltage-source branch rows have none).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nodal_tpu.models.stamps import StampTensors, stamp_values
+from nodal_tpu.ops.cg import SolveInfo, bicgstab, cg
+
+
+@dataclass(frozen=True)
+class SparseTopology:
+    """Deduplicated, row-major-sorted COO structure for one netlist."""
+
+    n: int
+    rows: np.ndarray  # int32[nnz] sorted
+    cols: np.ndarray  # int32[nnz]
+    entry_to_slot: np.ndarray  # int32[raw_nnz]: raw stamp entry -> slot
+    diag_slot: np.ndarray  # int32[n]: slot of (i, i), or -1 if absent
+
+
+def build_sparse_topology(stamps: StampTensors) -> SparseTopology:
+    """Host-side: sort raw COO entries by (row, col) and merge duplicates."""
+    key = stamps.g_rows.astype(np.int64) * stamps.n + stamps.g_cols
+    uniq, inverse = np.unique(key, return_inverse=True)
+    rows = (uniq // stamps.n).astype(np.int32)
+    cols = (uniq % stamps.n).astype(np.int32)
+    diag_slot = np.full(stamps.n, -1, dtype=np.int32)
+    on_diag = rows == cols
+    diag_slot[rows[on_diag]] = np.nonzero(on_diag)[0].astype(np.int32)
+    return SparseTopology(
+        n=stamps.n,
+        rows=rows,
+        cols=cols,
+        entry_to_slot=inverse.astype(np.int32),
+        diag_slot=diag_slot,
+    )
+
+
+def _topology(stamps: StampTensors) -> SparseTopology:
+    cached = getattr(stamps, "_sparse_topology", None)
+    if cached is None:
+        cached = build_sparse_topology(stamps)
+        stamps._sparse_topology = cached  # type: ignore[attr-defined]
+    return cached
+
+
+def sparse_values(topo: SparseTopology, stamps: StampTensors, params):
+    """Fold raw stamp values into deduped slots (device, one segment_sum)."""
+    g_vals, _ = stamp_values(stamps, params)
+    return jax.ops.segment_sum(
+        g_vals, jnp.asarray(topo.entry_to_slot), num_segments=len(topo.rows)
+    )
+
+
+def coo_matvec(topo: SparseTopology, vals, x):
+    """y = G @ x via gather + segment_sum.  Rows are pre-sorted, which lets
+    XLA use the cheap sorted-segment path."""
+    prods = vals * x[jnp.asarray(topo.cols)]
+    return jax.ops.segment_sum(
+        prods,
+        jnp.asarray(topo.rows),
+        num_segments=topo.n,
+        indices_are_sorted=True,
+    )
+
+
+def jacobi_preconditioner(topo: SparseTopology, vals):
+    """Inverse-diagonal preconditioner; identity on empty/zero diagonals
+    (voltage-source branch rows)."""
+    slot = jnp.asarray(topo.diag_slot)
+    diag = jnp.where(slot >= 0, vals[jnp.clip(slot, 0)], 0.0)
+    inv = jnp.where(jnp.abs(diag) > 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0)
+
+    def M(r):
+        return r * inv
+
+    return M
+
+
+def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None):
+    """Solve the full MNA system iteratively.  Returns ``(x, SolveInfo)``.
+
+    CG when the system is SPD (no branch equations), BiCGStab otherwise.
+    """
+    topo = _topology(stamps)
+    params = jnp.asarray(params, dtype=dtype)
+    if tol is None:
+        tol = 1e-10 if params.dtype == jnp.float64 else 1e-6
+    vals = sparse_values(topo, stamps, params)
+    _, rhs_vals = stamp_values(stamps, params)
+    b = jnp.zeros(stamps.n, dtype=params.dtype).at[stamps.rhs_rows].add(rhs_vals)
+
+    def matvec(x):
+        return coo_matvec(topo, vals, x)
+
+    M = jacobi_preconditioner(topo, vals)
+    spd = stamps.n == stamps.n_kcl  # no branch equations -> grounded Laplacian
+    solver = cg if spd else bicgstab
+    x, info = solver(matvec, b, preconditioner=M, tol=tol, maxiter=20 * stamps.n)
+    return x, info

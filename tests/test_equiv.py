@@ -1,0 +1,60 @@
+"""Equivalent-resistance tests (reference ResistanceTesters, tests.py:14-36)
+plus the probe-name-collision fix (quirk Q4)."""
+
+import numpy as np
+import pytest
+
+from nodal_tpu import Netlist
+from nodal_tpu.equiv import check_resistive, equivalent_resistance
+
+import fixtures as fx
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [(fx.RESISTIVE_1, 2.0), (fx.RESISTIVE_2, 1.0), (fx.RESISTIVE_3, 1.0)],
+    ids=["resistive_1", "resistive_2", "resistive_3"],
+)
+@pytest.mark.parametrize("sparse", [False, True], ids=["dense", "sparse"])
+def test_equivalent_resistance_goldens(tmp_netlist, text, expected, sparse):
+    netlist = Netlist(tmp_netlist(text))
+    r = equivalent_resistance(netlist, "1", "g", sparse=sparse)
+    np.testing.assert_allclose(r, expected, rtol=1e-8)
+
+
+def test_check_resistive(tmp_netlist):
+    expectations = {
+        fx.RESISTIVE_1: True,
+        fx.RESISTIVE_2: True,
+        fx.CIRCUIT_161: False,
+        fx.DIVIDER: False,
+        fx.OPMODEL_AMPLIFIER: False,
+    }
+    for text, expected in expectations.items():
+        assert check_resistive(Netlist(tmp_netlist(text))) is expected
+
+
+def test_non_resistive_rejected(tmp_netlist):
+    with pytest.raises(ValueError):
+        equivalent_resistance(Netlist(tmp_netlist(fx.CIRCUIT_161)), "1", "g")
+
+
+def test_missing_probe_node_rejected(tmp_netlist):
+    with pytest.raises(KeyError):
+        equivalent_resistance(Netlist(tmp_netlist(fx.RESISTIVE_1)), "42", "g")
+
+
+def test_probe_name_collision_fixed(tmp_netlist):
+    # Quirk Q4: the reference injects its probe source as "a1" and clobbers
+    # an existing component of that name (verified LinAlgError there).  Here
+    # the probe gets a fresh name and the solve succeeds.
+    text = "a1, R, 1, 1, 2\nr2, R, 1, 2, g\n"
+    r = equivalent_resistance(Netlist(tmp_netlist(text)), "1", "g")
+    np.testing.assert_allclose(r, 2.0, rtol=1e-8)
+
+
+def test_original_netlist_not_mutated(tmp_netlist):
+    netlist = Netlist(tmp_netlist(fx.RESISTIVE_1))
+    keys_before = list(netlist.component_keys)
+    equivalent_resistance(netlist, "1", "g")
+    assert netlist.component_keys == keys_before
