@@ -1,0 +1,218 @@
+"""Matrix-free resistor-grid solver: stencil Laplacian + multigrid CG.
+
+This is the framework's answer to the reference's headline use case — the
+xkcd-356 infinite-resistor-grid problem (reference README.md:141-142) and
+the 1M-node resistor-grid north star (BASELINE.json): equivalent resistance
+across a uniform H×W grid of unit resistors.
+
+The netlist path would spend all its time materializing 1M nodes of CSV and
+COO; here the grid never becomes a netlist at all.  The MNA system for a
+resistive grid is the graph Laplacian; its matvec is a 5-point stencil —
+pure VPU work with perfect XLA fusion.  We solve the *Neumann* (ungrounded)
+system ``L x = b`` with zero-sum ``b = e_a - e_b``, regularized by a
+rank-one mean shift (``A = L + mean``), which is SPD on the whole space and
+agrees with the grounded solve on potential *differences*; equivalent
+resistance R = x[a] - x[b] is exactly the netlist-path answer.
+
+Preconditioner: geometric multigrid V-cycle with Galerkin-exact coarse
+operators.  Coarsening merges 2×2 node blocks; electrically, two parallel
+unit resistors bridge adjacent blocks, so the coarse grid is again a uniform
+resistor grid with doubled edge weight — ``P^T L_w P = L_{2w}`` holds
+exactly for prolongation-by-replication, including boundary rows.  The
+coarsest level is solved exactly with a precomputed pseudo-inverse (the
+Neumann nullspace projects out for free).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nodal_tpu.ops.cg import SolveInfo, cg
+
+# Weighted-Jacobi smoothing factor: 4/5 is optimal-ish for the 2D 5-point
+# stencil's high-frequency band.
+_JACOBI_OMEGA = 0.8
+_COARSEST_SIZE = 16  # stop coarsening when min(H, W) <= this
+
+
+def _degree(h: int, w: int) -> np.ndarray:
+    """Node degrees of the H×W grid graph (4 interior, 3 edge, 2 corner)."""
+    deg = np.full((h, w), 4.0)
+    deg[0, :] -= 1.0
+    deg[-1, :] -= 1.0
+    deg[:, 0] -= 1.0
+    deg[:, -1] -= 1.0
+    return deg
+
+
+def _neighbor_sum_replicate(x):
+    """Sum of 4-neighbor values under edge-replicate padding.
+
+    Pad + slice + add (not ``.at[].add``): lowers to fused elementwise ops
+    rather than scatters, and absorbs the boundary degree correction — for a
+    boundary node the replicated 'neighbor' is the node itself, so
+    ``4x - nbr_replicate(x) == deg⊙x - nbr_zero(x)`` exactly.  No H×W
+    degree constant ever enters the executable.
+    """
+    xp = jnp.pad(x, 1, mode="edge")
+    return xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+
+
+def laplacian_matvec(x, weight=1.0):
+    """y = weight * (deg ⊙ x - Σ_neighbors x): the grid-graph Laplacian of
+    an H×W grid of equal resistors (conductance ``weight`` per edge)."""
+    return weight * (4.0 * x - _neighbor_sum_replicate(x))
+
+
+def _dense_laplacian(h: int, w: int, weight: float) -> np.ndarray:
+    """Materialized Laplacian for the exact coarsest-level solve."""
+    n = h * w
+    L = np.zeros((n, n))
+    for i in range(h):
+        for j in range(w):
+            k = i * w + j
+            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < h and 0 <= jj < w:
+                    L[k, k] += weight
+                    L[k, ii * w + jj] -= weight
+    return L
+
+
+@dataclass(frozen=True)
+class _Level:
+    h: int
+    w: int
+    weight: float
+
+
+@functools.lru_cache(maxsize=32)
+def _build_levels(h: int, w: int) -> tuple:
+    """Geometric hierarchy: halve both dims while even; weight doubles."""
+    levels = []
+    weight = 1.0
+    while True:
+        levels.append(_Level(h, w, weight))
+        if min(h, w) <= _COARSEST_SIZE or h % 2 or w % 2:
+            break
+        h, w, weight = h // 2, w // 2, weight * 2.0
+    return tuple(levels)
+
+
+@functools.lru_cache(maxsize=32)
+def _coarse_pinv(h: int, w: int, weight: float) -> np.ndarray:
+    """Pseudo-inverse of the coarsest Neumann Laplacian (exact solve; the
+    constant nullspace projects out automatically)."""
+    return np.linalg.pinv(_dense_laplacian(h, w, weight)).astype(np.float64)
+
+
+def _restrict(r):
+    """2×2 block sum = P^T for prolongation-by-replication."""
+    h, w = r.shape
+    return r.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+
+
+def _prolong(xc):
+    """Replicate each coarse value over its 2×2 block (P)."""
+    return jnp.repeat(jnp.repeat(xc, 2, axis=0), 2, axis=1)
+
+
+def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1):
+    """Symmetric V(nu, nu) multigrid cycle as a linear preconditioner.
+
+    Returns M(r) ≈ L⁺ r (mean-zero in, mean-zero out), fixed and SPD, safe
+    inside CG.
+    """
+    levels = _build_levels(h, w)
+    coarsest = levels[-1]
+    pinv = jnp.asarray(
+        _coarse_pinv(coarsest.h, coarsest.w, coarsest.weight), dtype=dtype
+    )
+
+    def smooth(x, r, lv_idx):
+        # Weighted Jacobi with the uniform interior diagonal 4*weight
+        # (slightly underdamped on boundary rows — fine for a smoother).
+        lv = levels[lv_idx]
+        for _ in range(nu):
+            res = r - laplacian_matvec(x, lv.weight)
+            x = x + (_JACOBI_OMEGA / (4.0 * lv.weight)) * res
+        return x
+
+    def vcycle(r, lv_idx):
+        lv = levels[lv_idx]
+        if lv_idx == len(levels) - 1:
+            flat = pinv @ r.reshape(-1)
+            return flat.reshape(lv.h, lv.w)
+        x = smooth(jnp.zeros_like(r), r, lv_idx)
+        res = r - laplacian_matvec(x, lv.weight)
+        x = x + _prolong(vcycle(_restrict(res), lv_idx + 1))
+        return smooth(x, r, lv_idx)
+
+    def M(r):
+        out = vcycle(r, 0)
+        return out - jnp.mean(out)
+
+    return M
+
+
+def make_grid_operator(h: int, w: int, dtype):
+    """The SPD regularized Neumann operator ``A x = L x + mean(x)``.
+
+    For mean-zero b, ``A x = b`` has the unique mean-zero solution of the
+    singular system ``L x = b`` — potential differences match the grounded
+    netlist solve exactly.
+    """
+    del h, w, dtype  # shape-independent: the stencil adapts to x
+
+    def matvec(x):
+        return laplacian_matvec(x) + jnp.mean(x)
+
+    return matvec
+
+
+def grid_solve(h, w, b, *, dtype=jnp.float32, tol=1e-7, maxiter=None, mg=True):
+    """Solve the grid system for an arbitrary zero-sum injection field ``b``.
+
+    Returns ``(x, SolveInfo)`` with x mean-zero.  jit-friendly given static
+    (h, w).
+    """
+    b = jnp.asarray(b, dtype=dtype)
+    matvec = make_grid_operator(h, w, dtype)
+    M = make_mg_preconditioner(h, w, dtype) if mg else None
+    if maxiter is None:
+        maxiter = 200 if mg else 20 * max(h, w)
+    return cg(matvec, b - jnp.mean(b), preconditioner=M, tol=tol, maxiter=maxiter)
+
+
+def grid_equivalent_resistance(
+    h: int,
+    w: int,
+    a: tuple[int, int],
+    b: tuple[int, int],
+    *,
+    resistance: float = 1.0,
+    dtype=jnp.float32,
+    tol=1e-7,
+    maxiter=None,
+    mg: bool = True,
+):
+    """Equivalent resistance between grid nodes ``a`` and ``b`` on an H×W
+    grid of equal resistors (1 A probe current, R = potential difference;
+    reference equiv.py:31-61 semantics without the netlist).
+
+    Returns ``(R, SolveInfo)``.
+    """
+    rhs = (
+        jnp.zeros((h, w), dtype=dtype)
+        .at[a[0], a[1]].add(1.0)
+        .at[b[0], b[1]].add(-1.0)
+    )
+    x, info = grid_solve(h, w, rhs, dtype=dtype, tol=tol, maxiter=maxiter, mg=mg)
+    r = (x[a[0], a[1]] - x[b[0], b[1]]) * resistance
+    return r, info

@@ -1,0 +1,65 @@
+"""Batched-sweep consistency: vmapped solves must match per-sample solves."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nodal_tpu import Circuit, Netlist
+from nodal_tpu.batch import BatchedSolver, monte_carlo
+
+import fixtures as fx
+
+
+def test_batched_matches_single(tmp_netlist):
+    circuit = Circuit(Netlist(tmp_netlist(fx.CIRCUIT_161)))
+    solver = BatchedSolver(circuit, dtype=jnp.float64)
+
+    rng = np.random.default_rng(42)
+    B = 16
+    base = circuit.stamps.params
+    batch = base * (1.0 + 0.1 * rng.standard_normal((B, len(base))))
+    results = np.asarray(solver(batch))
+
+    for i in range(B):
+        G, b = _assemble_numpy(circuit, batch[i])
+        expected = np.linalg.solve(G, b)
+        np.testing.assert_allclose(results[i], expected, rtol=1e-8, atol=1e-12)
+
+
+def _assemble_numpy(circuit, params):
+    from nodal_tpu.ops.assemble import assemble_dense
+
+    G, b = assemble_dense(circuit.stamps, jnp.asarray(params, dtype=jnp.float64))
+    return np.asarray(G), np.asarray(b)
+
+
+def test_f32_refined_reaches_f64_accuracy(tmp_netlist):
+    circuit = Circuit(Netlist(tmp_netlist(fx.RESISTIVE_3)))
+    base = circuit.stamps.params
+    batch = np.tile(base, (4, 1))
+
+    refined = np.asarray(BatchedSolver(circuit, refine=True)(batch))
+    G, b = _assemble_numpy(circuit, base)
+    expected = np.linalg.solve(G, b)
+    np.testing.assert_allclose(refined[0], expected, rtol=1e-9, atol=1e-12)
+
+
+def test_params_with_overrides(tmp_netlist):
+    circuit = Circuit(Netlist(tmp_netlist(fx.RESISTIVE_1)))
+    solver = BatchedSolver(circuit)
+    batch = solver.params_with({"r1": np.array([1.0, 2.0, 3.0])})
+    assert batch.shape == (3, 2)
+    slot = circuit.stamps.param_slot["r1"]
+    np.testing.assert_array_equal(batch[:, slot], [1.0, 2.0, 3.0])
+    other = circuit.stamps.param_slot["r2"]
+    np.testing.assert_array_equal(batch[:, other], [1.0, 1.0, 1.0])
+
+
+def test_monte_carlo_stats(tmp_netlist):
+    # Divider: e(2) = -r3 * I; 5% tolerance on r3 propagates linearly.
+    circuit = Circuit(Netlist(tmp_netlist(fx.DIVIDER)))
+    out = monte_carlo(circuit, {"r3": 0.05}, n=2048, seed=1)
+    node2 = circuit.netlist.nodenum["2"]
+    mean = float(out["mean"][node2])
+    std = float(out["std"][node2])
+    np.testing.assert_allclose(mean, -1.0, atol=0.01)
+    np.testing.assert_allclose(std, 0.05, atol=0.01)
