@@ -1,0 +1,151 @@
+"""Benchmark harness: one JSON line on stdout.
+
+Primary metric: batched solves/sec on a 1k-node ladder network (the
+reference's dense repeat-solve measures 36.2 solves/s on CPU —
+BASELINE.md).  Extra fields report the 1M-node resistor-grid multigrid-CG
+solve (reference extrapolation: ~4-5 min of Python stamping alone before
+SuperLU even starts).
+
+Runs on whatever jax's default backend is (the real TPU under the driver);
+``--platform cpu`` forces the host backend for local smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Reference baseline: dense repeat solve on 1k-unknown ladder, measured on
+# the session CPU (BASELINE.md): 27.6 ms/solve.
+BASELINE_SOLVES_PER_SEC = 36.2
+
+
+def bench_batched_solves(n_nodes: int, batch: int, reps: int, method: str = "auto"):
+    """Throughput of the structure-aware batched solver.
+
+    Timing is forced honest: a device-side checksum of every solution batch
+    is fetched to the host inside the timed region (``block_until_ready``
+    alone does not synchronize through the remote-TPU tunnel).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.utils.gridgen import ladder_rows
+
+    circuit = Circuit(Netlist.from_rows(ladder_rows(n_nodes)))
+    solver = BatchedSolver(circuit, dtype=jnp.float32, method=method)
+
+    rng = np.random.default_rng(0)
+    base = circuit.stamps.params.astype(np.float32)
+    mega = jnp.asarray(
+        base * (1.0 + 0.05 * rng.standard_normal((batch, len(base)))),
+        dtype=jnp.float32,
+    )
+
+    checksum = jax.jit(lambda p: jnp.sum(solver._solve(p)))
+    # Warm-up/compile.
+    out = solver(mega)
+    float(checksum(mega))
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _ = float(checksum(mega))  # scalar fetch = full completion barrier
+    dt = (time.perf_counter() - t0) / reps
+    solves_per_sec = batch / dt
+
+    # Accuracy spot check: f64 reference solve of the same perturbed sample.
+    from nodal_tpu.ops.assemble import assemble_dense
+
+    sample = np.asarray(mega[0], dtype=np.float64)
+    G, b = assemble_dense(circuit.stamps, jnp.asarray(sample, dtype=jnp.float64))
+    expected = np.linalg.solve(np.asarray(G), np.asarray(b))
+    got = np.asarray(out[0], dtype=np.float64)
+    err = float(np.max(np.abs(got - expected)) / np.max(np.abs(expected)))
+    return solves_per_sec, dt, err, solver.method
+
+
+def bench_grid(n: int, tol: float):
+    import jax
+    import jax.numpy as jnp
+
+    from nodal_tpu.ops.grid import grid_equivalent_resistance
+
+    a, b = (n // 2, n // 2), (n // 2 + 1, n // 2 + 2)
+    run = jax.jit(
+        lambda: grid_equivalent_resistance(n, n, a, b, dtype=jnp.float32, tol=tol)
+    )
+    # Warm-up/compile; scalar fetches force completion.
+    r, info = run()
+    float(r)
+    t0 = time.perf_counter()
+    r, info = run()
+    r = float(r)
+    iters = int(info.iterations)
+    dt = time.perf_counter() - t0
+    return r, dt, iters
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default=None, help="force jax platform")
+    parser.add_argument("--nodes", type=int, default=1000)
+    parser.add_argument("--batch", type=int, default=16384)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--method", default="auto")
+    parser.add_argument("--grid", type=int, default=1024)
+    parser.add_argument("--grid-tol", type=float, default=1e-6)
+    parser.add_argument("--skip-grid", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+
+    backend = jax.default_backend()
+
+    solves_per_sec, dt, err, method = bench_batched_solves(
+        args.nodes, args.batch, args.reps, args.method
+    )
+    extra = {
+        "backend": backend,
+        "solver_method": method,
+        "batch_size": args.batch,
+        "batched_wall_s": round(dt, 4),
+        "batched_rel_err_vs_f64": err,
+    }
+    if not args.skip_grid:
+        r, grid_dt, iters = bench_grid(args.grid, args.grid_tol)
+        extra.update(
+            {
+                "grid_n": args.grid * args.grid,
+                "grid_solve_s": round(grid_dt, 4),
+                "grid_cg_iters": iters,
+                "grid_R_knights_move": round(r, 6),
+            }
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": f"batched_solves_per_sec_{args.nodes}_nodes",
+                "value": round(solves_per_sec, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
+                **extra,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

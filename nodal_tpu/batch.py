@@ -28,30 +28,107 @@ from nodal_tpu.ops.assemble import assemble_dense
 from nodal_tpu.ops import dense_solve
 
 
+def _refined_tridiag_solver(stamps, dtype, iters: int = 2):
+    """Band-space mixed precision: f32 PCR solves, f64 band residuals."""
+    from nodal_tpu.ops.assemble import assemble_tridiag
+    from nodal_tpu.ops.tridiag import tridiag_matvec, tridiag_solve
+
+    def solve_batch(params_batch):
+        dl, d, du, b = jax.vmap(
+            lambda p: assemble_tridiag(stamps, p, dtype=jnp.float64)
+        )(params_batch.astype(jnp.float64))
+        f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
+        x = tridiag_solve(f32(dl), f32(d), f32(du), f32(b)).astype(jnp.float64)
+        for _ in range(iters):
+            r = b - tridiag_matvec(dl, d, du, x)
+            dx = tridiag_solve(f32(dl), f32(d), f32(du), f32(r))
+            x = x + dx.astype(jnp.float64)
+        return x
+
+    return solve_batch
+
+
 class BatchedSolver:
     """Compiled vmapped assemble+solve for one netlist topology.
 
+    The solver method follows the circuit's *structure*, detected by the
+    stamp compiler:
+
+    * ``tridiag`` — chain/ladder topologies (bandwidth ≤ 1, purely
+      resistive): band assembly + parallel cyclic reduction, O(n log n)
+      work, no dense matrix ever built.
+    * ``block``  — general resistive (diagonally dominant) systems: the
+      MXU-native no-pivot blocked LU (ops.block_lu).
+    * ``dense``  — anything with branch equations (voltage/controlled
+      sources put zeros on the diagonal): XLA's pivoted LU.
+
     Args:
         circuit: the compiled circuit (topology + default params).
-        dtype: batch numerics; default float32 — the TPU fast path.  Use
-            ``refine=True`` to add f64-residual iterative refinement on top
-            of the f32 factorization (f64-level accuracy at f32 speed for
-            well-conditioned systems).
-        refine: mixed-precision refinement (see ops.dense_solve).
+        dtype: batch numerics; default float32 — the TPU fast path.
+        refine: add f64-residual iterative refinement (f64-level accuracy
+            at f32 speed for well-conditioned systems).
+        method: override the structure-based choice.
     """
 
-    def __init__(self, circuit: Circuit, *, dtype=jnp.float32, refine: bool = False):
+    def __init__(
+        self,
+        circuit: Circuit,
+        *,
+        dtype=jnp.float32,
+        refine: bool = False,
+        method: str = "auto",
+    ):
+        from nodal_tpu.ops.assemble import assemble_tridiag, bandwidth
+        from nodal_tpu.ops import block_lu, tridiag
+
         self.stamps: StampTensors = circuit.stamps
         self.dtype = dtype
         self.refine = refine
 
-        def single(params):
-            G, b = assemble_dense(self.stamps, params, dtype=dtype)
-            if refine:
-                return dense_solve.solve_refined(G, b)
-            return dense_solve.solve_dense(G, b)
+        resistive = self.stamps.n == self.stamps.n_kcl  # no branch equations
+        if method == "auto":
+            if resistive and bandwidth(self.stamps) <= 1:
+                method = "tridiag"
+            elif resistive:
+                method = "block"
+            else:
+                method = "dense"
+        self.method = method
 
-        self._solve = jax.jit(jax.vmap(single))
+        if method == "tridiag":
+            if refine:
+                solve_batch = _refined_tridiag_solver(self.stamps, dtype)
+            else:
+
+                def single(params):
+                    dl, d, du, b = assemble_tridiag(
+                        self.stamps, params, dtype=dtype
+                    )
+                    return tridiag.tridiag_solve(dl, d, du, b)
+
+                solve_batch = jax.vmap(single)
+        elif method == "block":
+
+            def single(params):
+                return assemble_dense(self.stamps, params, dtype=dtype)
+
+            def solve_batch(params_batch):
+                G, b = jax.vmap(single)(params_batch)
+                if refine:
+                    return block_lu.blocked_solve_refined(G, b)
+                return block_lu.blocked_solve(G, b)
+
+        else:
+
+            def single(params):
+                G, b = assemble_dense(self.stamps, params, dtype=dtype)
+                if refine:
+                    return dense_solve.solve_refined(G, b)
+                return dense_solve.solve_dense(G, b)
+
+            solve_batch = jax.vmap(single)
+
+        self._solve = jax.jit(solve_batch)
 
     def __call__(self, params_batch):
         """Solve for a [B, n_components] batch of parameter vectors.

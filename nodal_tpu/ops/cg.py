@@ -38,13 +38,16 @@ def cg(
     preconditioner: Callable | None = None,
     tol: float = 1e-9,
     maxiter: int | None = None,
+    axis_names=None,
 ):
     """Preconditioned conjugate gradient for SPD operators.
 
-    ``matvec``/``preconditioner`` are closures over any pytree-shaped
-    vectors — a flat vector, a 2D grid field, or a sharded array under
-    ``shard_map`` (dot products then need a collective inside ``matvec``'s
-    closure world; see nodal_tpu.parallel).  Returns ``(x, SolveInfo)``.
+    ``matvec``/``preconditioner`` are closures over any array shape — a flat
+    vector, a 2D grid field, or a *local shard* inside ``shard_map``.  In
+    the latter case pass ``axis_names`` (e.g. ``("sp",)``): dot products are
+    then ``psum``-reduced across those mesh axes, so the whole loop runs
+    SPMD with the matvec's own halo exchange as the only other communication.
+    Returns ``(x, SolveInfo)``.
 
     Convergence: ||r||_2 <= tol * ||b||_2, capped at ``maxiter``.
     """
@@ -55,7 +58,10 @@ def cg(
         maxiter = 10 * _size(b)
 
     def dot(u, v):
-        return jnp.vdot(u, v, precision=jax.lax.Precision.HIGHEST)
+        d = jnp.vdot(u, v, precision=jax.lax.Precision.HIGHEST)
+        if axis_names:
+            d = jax.lax.psum(d, axis_names)
+        return d
 
     b_norm2 = dot(b, b)
     atol2 = (tol * tol) * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)

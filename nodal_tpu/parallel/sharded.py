@@ -1,0 +1,76 @@
+"""GSPMD-sharded solvers: annotate shardings, let XLA place collectives.
+
+This is the primary multi-chip path (the scaling-book recipe): the batched
+dense solve shards its batch axis across the whole mesh (pure data
+parallelism — zero communication), and the grid solve shards the *node axis*
+(grid rows) so one huge system spans chips; XLA's SPMD partitioner turns the
+stencil's pad/slice ops into halo exchanges and the CG dot products into
+``all-reduce``s over ICI automatically.
+
+For the explicit hand-written collective variant (ppermute halo exchange
+inside shard_map), see :mod:`nodal_tpu.parallel.halo`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nodal_tpu.models.stamps import StampTensors
+from nodal_tpu.ops.assemble import assemble_dense
+from nodal_tpu.ops import dense_solve
+from nodal_tpu.ops.grid import grid_solve
+
+
+def make_sharded_batch_solver(
+    stamps: StampTensors, mesh: Mesh, *, dtype=jnp.float32, refine: bool = False
+):
+    """Compile a batch solver whose batch axis is sharded over every mesh
+    axis (dp × sp treated as one data-parallel pool).
+
+    Returns a function ``params_batch [B, n_components] -> solutions [B, n]``
+    with B divisible by the mesh size.
+    """
+    in_sharding = NamedSharding(mesh, P(("dp", "sp"), None))
+    out_sharding = NamedSharding(mesh, P(("dp", "sp"), None))
+
+    def single(params):
+        G, b = assemble_dense(stamps, params, dtype=dtype)
+        if refine:
+            return dense_solve.solve_refined(G, b)
+        return dense_solve.solve_dense(G, b)
+
+    return jax.jit(
+        jax.vmap(single), in_shardings=in_sharding, out_shardings=out_sharding
+    )
+
+
+def make_sharded_grid_solver(
+    h: int,
+    w: int,
+    mesh: Mesh,
+    *,
+    dtype=jnp.float32,
+    tol: float = 1e-6,
+    maxiter: int | None = None,
+    mg: bool = True,
+):
+    """Compile a batched grid solver with 2D sharding: the batch of systems
+    over ``dp``, each system's row (node) axis over ``sp``.
+
+    Returns ``b_batch [B, H, W] -> (x_batch [B, H, W], residuals [B])``.
+    """
+    in_sharding = NamedSharding(mesh, P("dp", "sp", None))
+    out_sharding = (
+        NamedSharding(mesh, P("dp", "sp", None)),
+        NamedSharding(mesh, P("dp")),
+    )
+
+    def single(b):
+        x, info = grid_solve(h, w, b, dtype=dtype, tol=tol, maxiter=maxiter, mg=mg)
+        return x, info.residual
+
+    return jax.jit(
+        jax.vmap(single), in_shardings=(in_sharding,), out_shardings=out_sharding
+    )
