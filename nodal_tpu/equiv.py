@@ -45,6 +45,61 @@ def equivalent_resistance(
     probed = netlist.with_component([probe, "A", "1", a, b])
     solution = Circuit(probed, sparse=sparse, dtype=dtype).solve()
 
+    return _potential_difference(solution, probed, a, b)
+
+
+def equivalent_resistance_stamps(stamps, row_a: int, row_b: int, *,
+                                 dtype=None, tol: float = 1e-9) -> float:
+    """Equivalent resistance directly from compiled stamp tensors.
+
+    ``row_a``/``row_b`` are MNA row indices of the probe nodes (-1 for the
+    ground/reference node).  Injects the unit probe current straight into
+    the RHS vector — no netlist mutation, no re-parse — and solves the SPD
+    resistive system with preconditioned CG.  This is the path the
+    ``nodal-resistance`` CLI takes for large netlists via the native parser
+    (nodal_tpu.utils.native).
+    """
+    import jax.numpy as jnp
+
+    from nodal_tpu.ops.cg import cg
+    from nodal_tpu.ops.sparse import (
+        _topology, coo_matvec, jacobi_preconditioner, sparse_values,
+    )
+
+    if stamps.n != stamps.n_kcl:
+        raise ValueError("Network is not resistive")
+    if dtype is None:
+        import jax
+
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    topo = _topology(stamps)
+    params = jnp.asarray(stamps.params, dtype=dtype)
+    vals = sparse_values(topo, stamps, params)
+    rhs = jnp.zeros(stamps.n, dtype=dtype)
+    if row_a >= 0:
+        rhs = rhs.at[row_a].add(1.0)
+    if row_b >= 0:
+        rhs = rhs.at[row_b].add(-1.0)
+
+    x, info = cg(
+        lambda v: coo_matvec(topo, vals, v),
+        rhs,
+        preconditioner=jacobi_preconditioner(topo, vals),
+        tol=tol,
+        maxiter=40 * stamps.n,
+    )
+    ea = float(x[row_a]) if row_a >= 0 else 0.0
+    eb = float(x[row_b]) if row_b >= 0 else 0.0
+    if not bool(info.converged):
+        raise RuntimeError(
+            f"CG did not converge (residual {float(info.residual):.2e})"
+        )
+    return ea - eb
+
+
+def _potential_difference(solution, probed, a, b):
+
     # Ground is the 0 V reference; the literal label "g" is special-cased to
     # 0 exactly as the reference does (equiv.py:55-61) even when a different
     # node was elected ground.

@@ -37,7 +37,45 @@ def build_parser() -> argparse.ArgumentParser:
         default="f64",
         help="numeric precision (default f64)",
     )
+    parser.add_argument(
+        "--native",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="use the C++ netlist parser + direct CG path (auto: for "
+        "netlists over 256 KiB)",
+    )
     return parser
+
+
+_NATIVE_SIZE_THRESHOLD = 256 * 1024
+
+
+def _try_native(args) -> float | None:
+    """Native fast path: C++ parse -> stamp tensors -> CG.  Returns the
+    resistance, or None to fall back to the Python front-end."""
+    import os
+
+    if args.native == "off":
+        return None
+    try:
+        size = os.path.getsize(args.netlist_path)
+    except OSError:
+        return None  # let the normal path produce the exit-1 behavior
+    if args.native == "auto" and size < _NATIVE_SIZE_THRESHOLD:
+        return None
+    try:
+        from nodal_tpu.equiv import equivalent_resistance_stamps
+        from nodal_tpu.utils import native
+
+        with open(args.netlist_path, "rb") as fh:
+            stamps, symbols = native.parse_stamps(fh.read())
+        if not symbols.all_resistive:
+            raise ValueError("Network is not resistive")
+        ia = symbols.node_index(args.nodes[0])
+        ib = symbols.node_index(args.nodes[1])
+        return equivalent_resistance_stamps(stamps, ia, ib)
+    except native.NativeUnavailable:
+        return None
 
 
 def main(argv=None) -> None:
@@ -52,14 +90,7 @@ def main(argv=None) -> None:
     from nodal_tpu.equiv import equivalent_resistance
 
     try:
-        netlist = Netlist(args.netlist_path)
-    except FileNotFoundError:
-        sys.exit(1)
-
-    try:
-        r = equivalent_resistance(
-            netlist, args.nodes[0], args.nodes[1], sparse=args.sparse
-        )
+        r = _try_native(args)
     except ValueError:
         print("Invalid netlist\n")
         print("Resistors are the only component allowed in the circuit")
@@ -68,6 +99,25 @@ def main(argv=None) -> None:
         print("Invalid netlist\n")
         print(e.args[0])
         sys.exit(1)
+
+    if r is None:
+        try:
+            netlist = Netlist(args.netlist_path)
+        except FileNotFoundError:
+            sys.exit(1)
+
+        try:
+            r = equivalent_resistance(
+                netlist, args.nodes[0], args.nodes[1], sparse=args.sparse
+            )
+        except ValueError:
+            print("Invalid netlist\n")
+            print("Resistors are the only component allowed in the circuit")
+            sys.exit(1)
+        except KeyError as e:
+            print("Invalid netlist\n")
+            print(e.args[0])
+            sys.exit(1)
 
     print(f"R = {r}")
 

@@ -64,3 +64,36 @@ def test_resistance_cli_custom_nodes(tmp_netlist, capsys):
     equiv_cli.main(["--nodes", "2", "g", tmp_netlist(fx.RESISTIVE_1)])
     out = capsys.readouterr().out
     np.testing.assert_allclose(float(out.split("= ")[1]), 1.0, rtol=1e-8)
+
+
+def test_resistance_cli_native_path(tmp_netlist, capsys):
+    pytest.importorskip("nodal_tpu.utils.native")
+    from nodal_tpu.utils import native
+
+    try:
+        native._load()
+    except native.NativeUnavailable:
+        pytest.skip("no native build")
+    from nodal_tpu.utils.gridgen import grid_csv
+
+    path = tmp_netlist(grid_csv(8, 8, (0, 0), (7, 7)), "grid.csv")
+    equiv_cli.main(["--native", "on", path])
+    r_native = float(capsys.readouterr().out.split("= ")[1])
+    equiv_cli.main(["--native", "off", path])
+    r_python = float(capsys.readouterr().out.split("= ")[1])
+    np.testing.assert_allclose(r_native, r_python, rtol=1e-6)
+
+
+def test_resistance_cli_native_rejects_non_resistive(tmp_netlist, capsys):
+    pytest.importorskip("nodal_tpu.utils.native")
+    from nodal_tpu.utils import native
+
+    try:
+        native._load()
+    except native.NativeUnavailable:
+        pytest.skip("no native build")
+    path = tmp_netlist(fx.CIRCUIT_161)
+    with pytest.raises(SystemExit) as exc:
+        equiv_cli.main(["--native", "on", path])
+    assert exc.value.code == 1
+    assert "Resistors are the only component" in capsys.readouterr().out
