@@ -59,12 +59,17 @@ def bench_batched_solves(n_nodes: int, batch: int, reps: int, method: str = "aut
     dt = (time.perf_counter() - t0) / reps
     solves_per_sec = batch / dt
 
-    # Accuracy spot check: f64 reference solve of the same perturbed sample.
+    # Accuracy spot check: f64 reference solve of the same perturbed sample,
+    # assembled on the host CPU backend (native f64; no emulated-f64 TPU
+    # compile).
     from nodal_tpu.ops.assemble import assemble_dense
 
     sample = np.asarray(mega[0], dtype=np.float64)
-    G, b = assemble_dense(circuit.stamps, jnp.asarray(sample, dtype=jnp.float64))
-    expected = np.linalg.solve(np.asarray(G), np.asarray(b))
+    with jax.default_device(jax.devices("cpu")[0]):
+        G, b = assemble_dense(
+            circuit.stamps, jnp.asarray(sample, dtype=jnp.float64)
+        )
+        expected = np.linalg.solve(np.asarray(G), np.asarray(b))
     got = np.asarray(out[0], dtype=np.float64)
     err = float(np.max(np.abs(got - expected)) / np.max(np.abs(expected)))
     return solves_per_sec, dt, err, solver.method
@@ -103,12 +108,13 @@ def main(argv=None):
     parser.add_argument("--skip-grid", action="store_true")
     args = parser.parse_args(argv)
 
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
-
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # x64 on: the accuracy cross-checks need a true f64 reference (the fast
+    # paths request f32 explicitly, so this does not slow them down).
+    jax.config.update("jax_enable_x64", True)
 
     backend = jax.default_backend()
 

@@ -38,7 +38,15 @@ from nodal_tpu.ops.cg import SolveInfo, cg
 # Weighted-Jacobi smoothing factor: 4/5 is optimal-ish for the 2D 5-point
 # stencil's high-frequency band.
 _JACOBI_OMEGA = 0.8
-_COARSEST_SIZE = 16  # stop coarsening when min(H, W) <= this
+_COARSEST_SIZE = 8  # stop coarsening when min(H, W) <= this
+# Jacobi sweeps for the coarsest level.  An exact pinv matmul would be
+# mathematically nicer, but a matmul against an embedded constant matrix
+# costs ~100 s of remote-TPU compile time (measured); at <=8x8 a hundred
+# pure-stencil sweeps (rolled into one fori_loop) solve the level to
+# preconditioner accuracy and keep the whole V-cycle constant-free.
+# Tuned on a 512-grid point-source problem: (sweeps=96, coarsest=8, nu=1)
+# gives 42 CG iterations vs 50 for (48, 4, 1).
+_COARSE_SWEEPS = 96
 
 
 def _degree(h: int, w: int) -> np.ndarray:
@@ -105,13 +113,6 @@ def _build_levels(h: int, w: int) -> tuple:
     return tuple(levels)
 
 
-@functools.lru_cache(maxsize=32)
-def _coarse_pinv(h: int, w: int, weight: float) -> np.ndarray:
-    """Pseudo-inverse of the coarsest Neumann Laplacian (exact solve; the
-    constant nullspace projects out automatically)."""
-    return np.linalg.pinv(_dense_laplacian(h, w, weight)).astype(np.float64)
-
-
 def _restrict(r):
     """2×2 block sum = P^T for prolongation-by-replication."""
     h, w = r.shape
@@ -130,29 +131,35 @@ def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1):
     inside CG.
     """
     levels = _build_levels(h, w)
-    coarsest = levels[-1]
-    pinv = jnp.asarray(
-        _coarse_pinv(coarsest.h, coarsest.w, coarsest.weight), dtype=dtype
-    )
 
-    def smooth(x, r, lv_idx):
+    def jacobi(x, r, weight, sweeps):
         # Weighted Jacobi with the uniform interior diagonal 4*weight
         # (slightly underdamped on boundary rows — fine for a smoother).
-        lv = levels[lv_idx]
-        for _ in range(nu):
-            res = r - laplacian_matvec(x, lv.weight)
-            x = x + (_JACOBI_OMEGA / (4.0 * lv.weight)) * res
-        return x
+        def sweep(x):
+            res = r - laplacian_matvec(x, weight)
+            return x + (_JACOBI_OMEGA / (4.0 * weight)) * res
+
+        if sweeps <= 4:
+            for _ in range(sweeps):
+                x = sweep(x)
+            return x
+        # Long sweep chains (the coarsest level) roll into one fori_loop so
+        # the traced graph stays small — compile time, not run time, is the
+        # constraint here.
+        return jax.lax.fori_loop(0, sweeps, lambda _, x: sweep(x), x)
 
     def vcycle(r, lv_idx):
         lv = levels[lv_idx]
         if lv_idx == len(levels) - 1:
-            flat = pinv @ r.reshape(-1)
-            return flat.reshape(lv.h, lv.w)
-        x = smooth(jnp.zeros_like(r), r, lv_idx)
+            # Coarsest: many cheap sweeps on a tiny field, mean-projected
+            # (the Neumann nullspace component must not accumulate).
+            x = jacobi(jnp.zeros_like(r), r - jnp.mean(r), lv.weight,
+                       _COARSE_SWEEPS)
+            return x - jnp.mean(x)
+        x = jacobi(jnp.zeros_like(r), r, lv.weight, nu)
         res = r - laplacian_matvec(x, lv.weight)
         x = x + _prolong(vcycle(_restrict(res), lv_idx + 1))
-        return smooth(x, r, lv_idx)
+        return jacobi(x, r, lv.weight, nu)
 
     def M(r):
         out = vcycle(r, 0)
