@@ -124,12 +124,25 @@ def _prolong(xc):
     return jnp.repeat(jnp.repeat(xc, 2, axis=0), 2, axis=1)
 
 
-def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1):
+def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1,
+                           backend: str = "auto"):
     """Symmetric V(nu, nu) multigrid cycle as a linear preconditioner.
 
     Returns M(r) ≈ L⁺ r (mean-zero in, mean-zero out), fixed and SPD, safe
     inside CG.
+
+    ``backend="pallas"`` fuses the cycle into a handful of Pallas
+    mega-kernels (nodal_tpu.ops.pallas_stencil): levels that fit VMEM run
+    as ONE kernel, larger finest levels use the ghost-zone fused smoother.
+    v5e is per-op-overhead bound at these sizes, so fewer launches beat any
+    micro-optimization.  "auto" = pallas on TPU, xla elsewhere.
     """
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        f32 = jnp.dtype(dtype) == jnp.float32
+        backend = "pallas" if (on_tpu and f32) else "xla"
+    if backend == "pallas":
+        return _make_pallas_preconditioner(h, w, dtype, nu)
     levels = _build_levels(h, w)
 
     def jacobi(x, r, weight, sweeps):
@@ -168,6 +181,37 @@ def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1):
     return M
 
 
+_PALLAS_VCYCLE_BYTES = 2 * 1024 * 1024  # mega-kernel cutoff (512^2 f32)
+
+
+def _make_pallas_preconditioner(h: int, w: int, dtype, nu: int):
+    from nodal_tpu.ops.pallas_stencil import fused_jacobi, fused_vcycle
+
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def descend(r, weight):
+        hh, ww = r.shape
+        if hh * ww * itemsize <= _PALLAS_VCYCLE_BYTES or hh % 2 or ww % 2:
+            return fused_vcycle(
+                r, weight=weight, omega=_JACOBI_OMEGA, nu=nu,
+                coarse_sweeps=_COARSE_SWEEPS, coarsest=_COARSEST_SIZE,
+            )
+        x = fused_jacobi(
+            jnp.zeros_like(r), r, weight=weight, omega=_JACOBI_OMEGA,
+            sweeps=nu,
+        )
+        res = r - laplacian_matvec(x, weight)
+        x = x + _prolong(descend(_restrict(res), 2.0 * weight))
+        return fused_jacobi(x, r, weight=weight, omega=_JACOBI_OMEGA,
+                            sweeps=nu)
+
+    def M(r):
+        out = descend(r, 1.0)
+        return out - jnp.mean(out)
+
+    return M
+
+
 def make_grid_operator(h: int, w: int, dtype):
     """The SPD regularized Neumann operator ``A x = L x + mean(x)``.
 
@@ -183,7 +227,8 @@ def make_grid_operator(h: int, w: int, dtype):
     return matvec
 
 
-def grid_solve(h, w, b, *, dtype=jnp.float32, tol=1e-7, maxiter=None, mg=True):
+def grid_solve(h, w, b, *, dtype=jnp.float32, tol=1e-7, maxiter=None, mg=True,
+               mg_backend: str = "auto"):
     """Solve the grid system for an arbitrary zero-sum injection field ``b``.
 
     Returns ``(x, SolveInfo)`` with x mean-zero.  jit-friendly given static
@@ -191,7 +236,7 @@ def grid_solve(h, w, b, *, dtype=jnp.float32, tol=1e-7, maxiter=None, mg=True):
     """
     b = jnp.asarray(b, dtype=dtype)
     matvec = make_grid_operator(h, w, dtype)
-    M = make_mg_preconditioner(h, w, dtype) if mg else None
+    M = make_mg_preconditioner(h, w, dtype, backend=mg_backend) if mg else None
     if maxiter is None:
         maxiter = 200 if mg else 20 * max(h, w)
     return cg(matvec, b - jnp.mean(b), preconditioner=M, tol=tol, maxiter=maxiter)
@@ -208,6 +253,7 @@ def grid_equivalent_resistance(
     tol=1e-7,
     maxiter=None,
     mg: bool = True,
+    mg_backend: str = "auto",
 ):
     """Equivalent resistance between grid nodes ``a`` and ``b`` on an H×W
     grid of equal resistors (1 A probe current, R = potential difference;
@@ -220,6 +266,7 @@ def grid_equivalent_resistance(
         .at[a[0], a[1]].add(1.0)
         .at[b[0], b[1]].add(-1.0)
     )
-    x, info = grid_solve(h, w, rhs, dtype=dtype, tol=tol, maxiter=maxiter, mg=mg)
+    x, info = grid_solve(h, w, rhs, dtype=dtype, tol=tol, maxiter=maxiter,
+                         mg=mg, mg_backend=mg_backend)
     r = (x[a[0], a[1]] - x[b[0], b[1]]) * resistance
     return r, info

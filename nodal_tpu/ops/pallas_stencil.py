@@ -1,0 +1,224 @@
+"""Pallas mega-kernels for the grid solver's hot loop.
+
+The 1M-node grid CG is not bandwidth-bound on v5e — it is *op-overhead*
+bound: a 4 MB elementwise op costs ~250 µs wall regardless of its math
+(measured: axpy at 1024² reaches 43 GB/s vs 513 GB/s at 4096²).  The fix is
+fewer, fatter ops: fuse K weighted-Jacobi sweeps (each a 5-point stencil +
+axpy) into ONE kernel that keeps the field in VMEM.
+
+Two regimes:
+
+* **Single block** — fields up to ~2 MB (levels ≤ 512² f32) fit whole in
+  VMEM alongside their RHS; the kernel runs all K sweeps in a fori_loop
+  with zero HBM round-trips between sweeps.
+* **Ghost-zone tiles** — bigger fields are split into row bands.  K sweeps
+  need a K-row halo per side (information moves one row per sweep — the
+  classic overlapped-trapezoid scheme).  The inputs are mirror-padded by K
+  rows once outside the kernel ('symmetric' mode: x[-1] = x[0]), which is
+  exactly the edge-replicate Neumann boundary extension — the stencil is
+  reflection-symmetric, so mirrored ghosts stay consistent through every
+  sweep and K-sweep tiles are bit-exact, not approximate.  Each tile then
+  DMAs its uniform haloed row window HBM→VMEM and writes back only its
+  body.
+
+Horizontal boundaries never need ghosts (tiles span the full width; the
+in-kernel edge pad is exact every sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Per-field VMEM budget for the single-block regime (bytes).  Three live
+# field-sized buffers (x, r, padded temp) plus slack must fit in ~16 MB.
+_SINGLE_BLOCK_BYTES = 2 * 1024 * 1024
+_TILE_ROWS = 256
+
+
+def _interpret() -> bool:
+    # Mosaic is TPU-only; on CPU (tests, virtual meshes) run interpreted.
+    return jax.default_backend() != "tpu"
+
+
+def _lap(v, weight: float):
+    xp = jnp.pad(v, 1, mode="edge")
+    nbr = xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
+    return weight * (4.0 * v - nbr)
+
+
+def _sweep(v, r, weight: float, omega: float):
+    """One weighted-Jacobi sweep of the edge-replicate 5-point stencil."""
+    return v + (omega / (4.0 * weight)) * (r - _lap(v, weight))
+
+
+def _agg_matrix(m: int, dtype):
+    """[m, m//2] aggregation matrix with 1s at (i, i//2), built from iota
+    comparisons (no embedded constants — those cost ~100s of remote-TPU
+    compile).  restrict = Rᵀ v R (2×2 block sum), prolong = R x Rᵀ
+    (replication) — both MXU matmuls, since Mosaic rejects strided slicing
+    and reshape-based block reductions."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m // 2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m // 2), 1)
+    return (rows // 2 == cols).astype(dtype)
+
+
+def _restrict_mm(v):
+    R = _agg_matrix(v.shape[0], v.dtype)
+    C = _agg_matrix(v.shape[1], v.dtype)
+    return jnp.dot(
+        jnp.dot(R.T, v, preferred_element_type=v.dtype), C,
+        preferred_element_type=v.dtype,
+    )
+
+
+def _prolong_mm(x):
+    R = _agg_matrix(x.shape[0] * 2, x.dtype)
+    C = _agg_matrix(x.shape[1] * 2, x.dtype)
+    return jnp.dot(
+        jnp.dot(R, x, preferred_element_type=x.dtype), C.T,
+        preferred_element_type=x.dtype,
+    )
+
+
+def _single_block_kernel(sweeps: int, weight: float, omega: float):
+    def kernel(x_ref, r_ref, out_ref):
+        r = r_ref[:]
+
+        def body(_, v):
+            return _sweep(v, r, weight, omega)
+
+        out_ref[:] = jax.lax.fori_loop(0, sweeps, body, x_ref[:])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("weight", "omega", "sweeps"))
+def fused_jacobi(x, r, *, weight: float = 1.0, omega: float = 0.8,
+                 sweeps: int = 1):
+    """K fused weighted-Jacobi sweeps on the Neumann grid Laplacian.
+
+    Semantically identical (up to f32 rounding order) to K successive XLA
+    stencil sweeps, but one kernel launch and no intermediate HBM traffic.
+    """
+    h, w = x.shape
+    nbytes = h * w * x.dtype.itemsize
+    tb = _TILE_ROWS
+    if nbytes <= _SINGLE_BLOCK_BYTES or h % tb or h // tb < 2:
+        return pl.pallas_call(
+            _single_block_kernel(sweeps, weight, omega),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(x, r)
+
+    if sweeps > 4:
+        raise ValueError("tiled fused_jacobi supports at most 4 sweeps")
+    k = 4  # fixed halo: keeps every DMA window 8-row aligned for Mosaic
+    n_tiles = h // tb
+    # Mirror ('symmetric') padding == the Neumann boundary extension; the
+    # vertical sweeps inside the kernel then never need boundary branches.
+    xp = jnp.pad(x, ((k, k), (0, 0)), mode="symmetric")
+    rp = jnp.pad(r, ((k, k), (0, 0)), mode="symmetric")
+    win = tb + 2 * k  # multiple of 8
+
+    def kernel(x_hbm, r_hbm, out_ref, x_vmem, r_vmem, sem):
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * tb, 8)  # haloed window in padded array
+        cp_x = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(start, win), :], x_vmem, sem.at[0]
+        )
+        cp_r = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(start, win), :], r_vmem, sem.at[1]
+        )
+        cp_x.start()
+        cp_r.start()
+        cp_x.wait()
+        cp_r.wait()
+        r_loc = r_vmem[:]
+
+        def body(_, v):
+            return _sweep(v, r_loc, weight, omega)
+
+        out_ref[:] = jax.lax.fori_loop(0, sweeps, body, x_vmem[:])[
+            k : k + tb, :
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win, w), x.dtype),
+            pltpu.VMEM((win, w), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(xp, rp)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("weight", "omega", "nu", "coarse_sweeps",
+                              "coarsest")
+)
+def fused_vcycle(r, *, weight: float = 1.0, omega: float = 0.8, nu: int = 1,
+                 coarse_sweeps: int = 96, coarsest: int = 8):
+    """One multigrid V(nu, nu) cycle as a SINGLE Pallas kernel.
+
+    The whole level hierarchy lives in VMEM: smoothing is the fused stencil
+    sweep, level transfers are MXU matmuls against iota-generated
+    aggregation matrices, the coarsest level runs ``coarse_sweeps`` rolled
+    Jacobi iterations.  Replaces ~4 ops/level × levels with ONE launch —
+    the V-cycle's cost on v5e is per-op overhead, not FLOPs.
+
+    Valid for fields whose hierarchy fits VMEM: ≤ 512×512 f32.  Bigger
+    grids keep their finest level outside (see grid.make_mg_preconditioner)
+    and call this on the first coarse level.
+    """
+    h, w = r.shape
+    assert h * w * r.dtype.itemsize <= 4 * _SINGLE_BLOCK_BYTES // 2, (
+        "fused_vcycle input too large for VMEM; restrict first"
+    )
+
+    def vcycle(rr, wt: float):
+        hh, ww = rr.shape
+        if min(hh, ww) <= coarsest or hh % 2 or ww % 2:
+            rz = rr - jnp.mean(rr)
+
+            def body(_, x):
+                return _sweep(x, rz, wt, omega)
+
+            x = jax.lax.fori_loop(0, coarse_sweeps, body, jnp.zeros_like(rr))
+            return x - jnp.mean(x)
+        x = jnp.zeros_like(rr)
+        for _ in range(nu):
+            x = _sweep(x, rr, wt, omega)
+        res = rr - _lap(x, wt)
+        x = x + _prolong_mm(vcycle(_restrict_mm(res), 2.0 * wt))
+        for _ in range(nu):
+            x = _sweep(x, rr, wt, omega)
+        return x
+
+    def kernel(r_ref, o_ref):
+        out = vcycle(r_ref[:], weight)
+        o_ref[:] = out - jnp.mean(out)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(r)
