@@ -105,6 +105,10 @@ class Circuit:
         numpy.linalg.LinAlgError for genuinely singular systems, like the
         reference (nodal.py:313-336).
         """
+        import time
+
+        t0 = time.perf_counter()
+        stats: dict = {"dtype": str(self.dtype), "backend": jax.default_backend()}
         with self._device_scope():
             params = jnp.asarray(self.stamps.params, dtype=self.dtype)
             if self.sparse:
@@ -112,17 +116,23 @@ class Circuit:
 
                 x, info = solve_sparse_system(self.stamps, params, dtype=self.dtype)
                 residual = info.residual
+                stats["method"] = "krylov"
+                stats["iterations"] = int(info.iterations)
             else:
                 x, residual = self._solve_dense(params)
+                stats["method"] = "dense_lu"
 
         x = np.asarray(x, dtype=np.float64)
         if not self._acceptable(float(residual)) or not np.all(np.isfinite(x)):
             x, residual = self._rescue()
+            stats["method"] = "cpu_f64_rescue"
             if not self._acceptable(float(residual), np.float64) or not np.all(
                 np.isfinite(x)
             ):
                 self._raise_singular()
-        return Solution(x, self.netlist)
+        stats["residual"] = float(residual)
+        stats["solve_s"] = time.perf_counter() - t0
+        return Solution(x, self.netlist, stats=stats)
 
     def _solve_dense(self, params):
         G, b = assemble_dense(self.stamps, params, dtype=self.dtype)
@@ -189,11 +199,13 @@ class Solution:
 
     ``result[:kcl]`` are node potentials indexed by ``nodenum``;
     ``result[kcl:]`` are branch currents of anomalous components indexed by
-    ``anomnum``.
+    ``anomnum``.  ``stats`` carries solver observability (method, residual,
+    iteration count, wall time) — SURVEY.md §5.5.
     """
 
     result: np.ndarray
     netlist: Netlist
+    stats: dict | None = None
 
     def __post_init__(self):
         self.nodenum = self.netlist.nodenum

@@ -31,7 +31,61 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--stats", action="store_true", help="print timing statistics to stderr"
     )
+    parser.add_argument(
+        "--native",
+        choices=("auto", "on", "off"),
+        default="auto",
+        help="use the C++ netlist parser + iterative solve for large "
+        "netlists (auto: over 256 KiB)",
+    )
     return parser
+
+
+_NATIVE_SIZE_THRESHOLD = 256 * 1024
+
+
+def _try_native(args) -> bool:
+    """Native fast path: C++ parse -> stamp tensors -> Krylov solve ->
+    print.  Returns True if it handled the request."""
+    import os
+
+    if args.native == "off":
+        return False
+    try:
+        size = os.path.getsize(args.netlist_path)
+    except OSError:
+        return False
+    if args.native == "auto" and size < _NATIVE_SIZE_THRESHOLD:
+        return False
+    try:
+        from nodal_tpu.utils import native
+    except ImportError:  # pragma: no cover
+        return False
+    try:
+        with open(args.netlist_path, "rb") as fh:
+            stamps, symbols = native.parse_stamps(fh.read())
+    except native.NativeUnavailable:
+        return False
+
+    import numpy as np
+
+    from nodal_tpu.ops.sparse import solve_sparse_system
+
+    x, info = solve_sparse_system(stamps, stamps.params)
+    x = np.asarray(x, dtype=np.float64)
+    if not bool(info.converged) or not np.all(np.isfinite(x)):
+        import logging
+
+        logging.error("Model error: unconnected circuit or singular system")
+        sys.exit(1)
+
+    lines = [f"Ground node: {symbols.ground}"]
+    for name, row in sorted(symbols.node_rows()):
+        lines.append(f"e({name}) \t= {x[row]}")
+    for name, row in sorted(symbols.anomalous_rows()):
+        lines.append(f"i({name}) \t= {x[row]}")
+    print("\n".join(lines))
+    return True
 
 
 def main(argv=None) -> None:
@@ -41,6 +95,9 @@ def main(argv=None) -> None:
         import nodal_tpu
 
         nodal_tpu.enable_x64()
+
+    if _try_native(args):
+        return
 
     import time
 
@@ -62,8 +119,15 @@ def main(argv=None) -> None:
 
     print(solution)
     if args.stats:
+        detail = ""
+        if solution.stats:
+            s = solution.stats
+            detail = (
+                f"  method: {s['method']}  residual: {s['residual']:.2e}"
+                + (f"  iterations: {s['iterations']}" if "iterations" in s else "")
+            )
         print(
-            f"parse: {t1 - t0:.4f}s  compile+solve: {t2 - t1:.4f}s",
+            f"parse: {t1 - t0:.4f}s  compile+solve: {t2 - t1:.4f}s{detail}",
             file=sys.stderr,
         )
 

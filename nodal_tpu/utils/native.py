@@ -110,6 +110,20 @@ class NativeSymbols:
     def component_name(self, idx: int) -> str:
         return self._name(1, idx)
 
+    def node_rows(self):
+        """(name, mna_row) for every non-ground node."""
+        for nid in range(self.n_nodes):
+            row = int(self._nodenum[nid])
+            if row >= 0:
+                yield self._name(0, nid), row
+
+    def anomalous_rows(self):
+        """(component_name, mna_row) for every branch-current unknown."""
+        for cid in range(self.n_components):
+            a = int(self._anom_of_comp[cid])
+            if a >= 0:
+                yield self._name(1, cid), self.n_kcl + a
+
     def __del__(self):
         try:
             self._lib.fn_free(self._handle)
