@@ -100,13 +100,20 @@ class BatchedSolver:
                 solve_batch = _refined_tridiag_solver(self.stamps, dtype)
             else:
 
-                def single(params):
-                    dl, d, du, b = assemble_tridiag(
-                        self.stamps, params, dtype=dtype
-                    )
-                    return tridiag.tridiag_solve(dl, d, du, b)
+                def solve_batch(params_batch):
+                    dl, d, du, b = jax.vmap(
+                        lambda p: assemble_tridiag(self.stamps, p, dtype=dtype)
+                    )(params_batch)
+                    # Pallas VMEM-resident PCR on TPU f32 (one HBM pass);
+                    # generic XLA PCR elsewhere.
+                    if (
+                        jax.default_backend() == "tpu"
+                        and jnp.dtype(dtype) == jnp.float32
+                    ):
+                        from nodal_tpu.ops.pallas_tridiag import pcr_solve_padded
 
-                solve_batch = jax.vmap(single)
+                        return pcr_solve_padded(dl, d, du, b)
+                    return tridiag.tridiag_solve(dl, d, du, b)
         elif method == "block":
 
             def single(params):
@@ -156,6 +163,46 @@ class BatchedSolver:
         for name, values in overrides.items():
             batch[:, self.stamps.param_slot[name]] = np.asarray(values)
         return batch
+
+
+class BatchResult:
+    """Named access to a batch of solutions ([B, n_unknowns]).
+
+    ``potential(node)`` / ``current(component)`` return [B] arrays, matching
+    Solution's scalar accessors (circuit.py) for single solves.
+    """
+
+    def __init__(self, solutions, netlist):
+        self.solutions = solutions
+        self._netlist = netlist
+
+    def potential(self, node: str):
+        import jax.numpy as jnp
+
+        if node == self._netlist.ground:
+            return jnp.zeros(self.solutions.shape[0], self.solutions.dtype)
+        return self.solutions[:, self._netlist.nodenum[node]]
+
+    def current(self, name: str):
+        i = self._netlist.nums["kcl"] + self._netlist.anomnum[name]
+        return self.solutions[:, i]
+
+
+def sweep(
+    circuit: Circuit,
+    component: str,
+    values,
+    *,
+    dtype=jnp.float32,
+    refine: bool = False,
+    method: str = "auto",
+) -> BatchResult:
+    """Solve the circuit once per value of one component (all others at
+    their netlist values).  The classic 'DC sweep' — one compiled batched
+    solve."""
+    solver = BatchedSolver(circuit, dtype=dtype, refine=refine, method=method)
+    batch = solver.params_with({component: np.asarray(values)})
+    return BatchResult(solver(batch), circuit.netlist)
 
 
 def monte_carlo(

@@ -45,6 +45,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _x32_scope():
+    """Trace pallas calls with 32-bit index types: gridded Mosaic kernels
+    fail to compile when jax_enable_x64 leaks i64 into BlockSpec index
+    maps (verified on v5e)."""
+    return jax.enable_x64(False)
+
+
 def _lap(v, weight: float):
     xp = jnp.pad(v, 1, mode="edge")
     nbr = xp[:-2, 1:-1] + xp[2:, 1:-1] + xp[1:-1, :-2] + xp[1:-1, 2:]
@@ -109,13 +116,14 @@ def fused_jacobi(x, r, *, weight: float = 1.0, omega: float = 0.8,
     nbytes = h * w * x.dtype.itemsize
     tb = _TILE_ROWS
     if nbytes <= _SINGLE_BLOCK_BYTES or h % tb or h // tb < 2:
-        return pl.pallas_call(
-            _single_block_kernel(sweeps, weight, omega),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=_interpret(),
-        )(x, r)
+        with _x32_scope():
+            return pl.pallas_call(
+                _single_block_kernel(sweeps, weight, omega),
+                out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=_interpret(),
+            )(x, r)
 
     if sweeps > 4:
         raise ValueError("tiled fused_jacobi supports at most 4 sweeps")
@@ -149,24 +157,25 @@ def fused_jacobi(x, r, *, weight: float = 1.0, omega: float = 0.8,
             k : k + tb, :
         ]
 
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((win, w), x.dtype),
-            pltpu.VMEM((win, w), x.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=_interpret(),
-    )(xp, rp)
+    with _x32_scope():
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((win, w), x.dtype),
+                pltpu.VMEM((win, w), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=_interpret(),
+        )(xp, rp)
 
 
 @functools.partial(
@@ -215,10 +224,11 @@ def fused_vcycle(r, *, weight: float = 1.0, omega: float = 0.8, nu: int = 1,
         out = vcycle(r_ref[:], weight)
         o_ref[:] = out - jnp.mean(out)
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(r)
+    with _x32_scope():
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(r)

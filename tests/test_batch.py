@@ -54,6 +54,20 @@ def test_params_with_overrides(tmp_netlist):
     np.testing.assert_array_equal(batch[:, other], [1.0, 1.0, 1.0])
 
 
+def test_sweep_api(tmp_netlist):
+    from nodal_tpu.batch import sweep
+
+    circuit = Circuit(Netlist(tmp_netlist(fx.DIVIDER)))
+    values = np.linspace(1.0, 4.0, 7)
+    result = sweep(circuit, "r3", values, dtype=jnp.float64, method="dense")
+    # Divider: e(2) = -r3 * 1A (current flows 1->3, r3 spans 1-2; from the
+    # golden, e(2) = -1 at r3=1) -> linear in r3.
+    e2 = np.asarray(result.potential("2"))
+    np.testing.assert_allclose(e2, -values, rtol=1e-9)
+    # Ground potential accessor: zeros.
+    np.testing.assert_array_equal(np.asarray(result.potential("1")), 0.0)
+
+
 def test_monte_carlo_stats(tmp_netlist):
     # Divider: e(2) = -r3 * I; 5% tolerance on r3 propagates linearly.
     circuit = Circuit(Netlist(tmp_netlist(fx.DIVIDER)))
