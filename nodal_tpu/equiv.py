@@ -61,10 +61,7 @@ def equivalent_resistance_stamps(stamps, row_a: int, row_b: int, *,
     """
     import jax.numpy as jnp
 
-    from nodal_tpu.ops.cg import cg
-    from nodal_tpu.ops.sparse import (
-        _topology, coo_matvec, jacobi_preconditioner, sparse_values,
-    )
+    from nodal_tpu.ops.sparse import solve_sparse_system
 
     if stamps.n != stamps.n_kcl:
         raise ValueError("Network is not resistive")
@@ -73,28 +70,20 @@ def equivalent_resistance_stamps(stamps, row_a: int, row_b: int, *,
 
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    topo = _topology(stamps)
-    params = jnp.asarray(stamps.params, dtype=dtype)
-    vals = sparse_values(topo, stamps, params)
     rhs = jnp.zeros(stamps.n, dtype=dtype)
     if row_a >= 0:
         rhs = rhs.at[row_a].add(1.0)
     if row_b >= 0:
         rhs = rhs.at[row_b].add(-1.0)
 
-    x, info = cg(
-        lambda v: coo_matvec(topo, vals, v),
-        rhs,
-        preconditioner=jacobi_preconditioner(topo, vals),
-        tol=tol,
-        maxiter=40 * stamps.n,
-    )
-    ea = float(x[row_a]) if row_a >= 0 else 0.0
-    eb = float(x[row_b]) if row_b >= 0 else 0.0
+    x, info = solve_sparse_system(stamps, stamps.params, dtype=dtype,
+                                  tol=tol, rhs=rhs)
     if not bool(info.converged):
         raise RuntimeError(
             f"CG did not converge (residual {float(info.residual):.2e})"
         )
+    ea = float(x[row_a]) if row_a >= 0 else 0.0
+    eb = float(x[row_b]) if row_b >= 0 else 0.0
     return ea - eb
 
 

@@ -324,6 +324,27 @@ def compile_stamps(netlist: Netlist, quirks: Quirks | None = None) -> StampTenso
     return _Builder(netlist, quirks or Quirks()).build()
 
 
+def stamp_values_np(stamps: StampTensors, params: np.ndarray):
+    """Numpy mirror of :func:`stamp_values` for host-side setup work
+    (e.g. AMG hierarchy construction)."""
+
+    def factor(p_idx, exp):
+        x = params[p_idx]
+        return np.where(exp == _LIN, x, np.where(exp == _INV, 1.0 / x, 1.0))
+
+    g_vals = (
+        stamps.g_coeff
+        * factor(stamps.g_p1, stamps.g_e1)
+        * factor(stamps.g_p2, stamps.g_e2)
+    )
+    rhs_vals = (
+        stamps.rhs_coeff
+        * factor(stamps.rhs_p1, stamps.rhs_e1)
+        * factor(stamps.rhs_p2, stamps.rhs_e2)
+    )
+    return g_vals, rhs_vals
+
+
 def stamp_values(stamps: StampTensors, params):
     """Evaluate the stamp value expressions for a parameter vector.
 

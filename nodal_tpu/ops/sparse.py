@@ -96,24 +96,58 @@ def jacobi_preconditioner(topo: SparseTopology, vals):
     return M
 
 
-def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None):
+# Auto preconditioner policy: below this unknown count, Jacobi-CG's cheap
+# iterations beat AMG's per-cycle cost + program size (measured at 40k
+# nodes: AMG cuts iterations 14x — 79 vs 1140 — but loses on wall clock on
+# a cold start); above it, iteration counts grow with graph diameter and
+# AMG wins outright.
+_AMG_THRESHOLD_N = 100_000
+
+
+def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None,
+                        rhs=None, preconditioner: str = "auto"):
     """Solve the full MNA system iteratively.  Returns ``(x, SolveInfo)``.
 
-    CG when the system is SPD (no branch equations), BiCGStab otherwise.
+    CG for SPD systems (purely resistive), BiCGStab for general MNA.
+    Preconditioner: ``jacobi``, ``amg`` (aggregation AMG, SPD only), or
+    ``auto`` (AMG for SPD systems above ~100k unknowns).  ``rhs`` overrides
+    the netlist's own source vector (used by the equivalent-resistance
+    probe injection).
     """
     topo = _topology(stamps)
     params = jnp.asarray(params, dtype=dtype)
     if tol is None:
         tol = 1e-10 if params.dtype == jnp.float64 else 1e-6
     vals = sparse_values(topo, stamps, params)
-    _, rhs_vals = stamp_values(stamps, params)
-    b = jnp.zeros(stamps.n, dtype=params.dtype).at[stamps.rhs_rows].add(rhs_vals)
+    if rhs is None:
+        _, rhs_vals = stamp_values(stamps, params)
+        b = jnp.zeros(stamps.n, dtype=params.dtype).at[stamps.rhs_rows].add(
+            rhs_vals
+        )
+    else:
+        b = jnp.asarray(rhs, dtype=params.dtype)
 
     def matvec(x):
         return coo_matvec(topo, vals, x)
 
-    M = jacobi_preconditioner(topo, vals)
     spd = stamps.n == stamps.n_kcl  # no branch equations -> grounded Laplacian
+    if preconditioner == "auto":
+        preconditioner = (
+            "amg" if spd and stamps.n >= _AMG_THRESHOLD_N else "jacobi"
+        )
+    if preconditioner == "amg":
+        if not spd:
+            raise ValueError("AMG preconditioning requires an SPD system")
+        from nodal_tpu.models.stamps import stamp_values_np
+        from nodal_tpu.ops.amg import build_hierarchy, make_amg_preconditioner
+
+        g_np, _ = stamp_values_np(stamps, np.asarray(params, np.float64))
+        merged = np.zeros(len(topo.rows))
+        np.add.at(merged, topo.entry_to_slot, g_np)
+        levels = build_hierarchy(stamps.n, topo.rows, topo.cols, merged)
+        M = make_amg_preconditioner(levels, params.dtype)
+    else:
+        M = jacobi_preconditioner(topo, vals)
     solver = cg if spd else bicgstab
     x, info = solver(matvec, b, preconditioner=M, tol=tol, maxiter=20 * stamps.n)
     return x, info
