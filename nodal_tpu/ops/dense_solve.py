@@ -84,10 +84,6 @@ def solve_on_cpu(G, b):
         return jnp.linalg.solve(G_h, b_h)
 
 
-def default_platform() -> str:
-    return jax.default_backend()
-
-
 def solve_auto(G, b, dtype):
     """Pick the right dense path for the requested dtype on the device where
     ``G`` actually lives (Circuit may have placed it on the host CPU backend

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from nodal_tpu.models.stamps import StampTensors, stamp_values
-from nodal_tpu.ops.cg import SolveInfo, bicgstab, cg
+from nodal_tpu.ops.cg import bicgstab, cg
 
 
 @dataclass(frozen=True)
