@@ -19,8 +19,29 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
+
+// Heterogeneous string lookup (avoids a std::string allocation per field
+// on the hot interning path — matters at 1M-component netlists).
+struct SvHash {
+  using is_transparent = void;
+  size_t operator()(std::string_view s) const {
+    return std::hash<std::string_view>{}(s);
+  }
+  size_t operator()(const std::string& s) const {
+    return std::hash<std::string_view>{}(s);
+  }
+};
+struct SvEq {
+  using is_transparent = void;
+  bool operator()(std::string_view a, std::string_view b) const {
+    return a == b;
+  }
+};
+template <typename V>
+using StringMap = std::unordered_map<std::string, V, SvHash, SvEq>;
 
 namespace {
 
@@ -57,7 +78,7 @@ struct Result {
   std::string error;
   std::vector<Comp> comps;
   std::vector<std::string> node_names;   // interning order
-  std::unordered_map<std::string, int32_t> node_lookup;
+  StringMap<int32_t> node_lookup;
   std::vector<int32_t> degrees;
   int32_t ground = -1;
   std::vector<int32_t> nodenum;          // node id -> row index or -1 (ground)
@@ -100,18 +121,31 @@ static void split_line(const char* b, const char* e, std::vector<Field>& out) {
 
 struct Builder {
   Result res;
-  std::unordered_map<std::string, int32_t> node_id;
-  std::unordered_map<std::string, int32_t> comp_id;
+  StringMap<int32_t> node_id;
+  StringMap<int32_t> comp_id;
   std::vector<std::vector<std::string>> opmodel_rows;
 
-  int32_t intern_node(const std::string& label) {
+  int32_t intern_node(std::string_view label) {
     auto it = node_id.find(label);
     if (it != node_id.end()) return it->second;
     int32_t id = static_cast<int32_t>(res.node_names.size());
-    node_id.emplace(label, id);
-    res.node_names.push_back(label);
+    node_id.emplace(std::string(label), id);
+    res.node_names.push_back(std::string(label));
     res.degrees.push_back(0);
     return id;
+  }
+
+  void reserve_hint(int64_t text_len) {
+    // Grid/ladder netlists average ~25 bytes/row; reserve generously to
+    // avoid rehash/realloc churn at the 1M-component scale.
+    size_t rows = static_cast<size_t>(text_len / 20) + 16;
+    res.comps.reserve(rows);
+    node_id.reserve(rows);
+    comp_id.reserve(rows);
+    res.node_names.reserve(rows);
+    res.degrees.reserve(rows);
+    res.g.reserve(rows * 4);
+    res.r.reserve(rows / 4 + 16);
   }
 
   bool fail(const std::string& msg) {
@@ -120,11 +154,12 @@ struct Builder {
   }
 
   static bool parse_double(const Field& f, double* out) {
-    std::string s = f.str();
-    if (s.empty()) return false;
+    if (f.len == 0) return false;
+    // The field points into the (NUL-terminated) source buffer; strtod
+    // stops at the delimiter, so no per-field copy is needed.
     char* end = nullptr;
-    *out = std::strtod(s.c_str(), &end);
-    return end && *end == '\0';
+    *out = std::strtod(f.p, &end);
+    return end == f.p + f.len;
   }
 
   static int32_t type_of(const Field& f) {
@@ -186,11 +221,11 @@ struct Builder {
     if (!parse_double(f[2], &c.value))
       return fail("Bad input: expected a number for component value of " +
                   name);
-    c.anode = intern_node(f[3].str());
-    c.bnode = intern_node(f[4].str());
+    c.anode = intern_node(std::string_view(f[3].p, f[3].len));
+    c.bnode = intern_node(std::string_view(f[4].p, f[4].len));
     if (arity >= 7) {
-      c.cnode = intern_node(f[5].str());
-      c.dnode = intern_node(f[6].str());
+      c.cnode = intern_node(std::string_view(f[5].p, f[5].len));
+      c.dnode = intern_node(std::string_view(f[6].p, f[6].len));
     }
     if (arity == 8) c.driver_name = f[7].str();
     if (comp_id.count(name))
@@ -218,7 +253,7 @@ struct Builder {
     if (res.comps.empty()) return fail("Empty netlist: no components found");
 
     // Ground: explicit "g" wins, else max degree, first-appearance ties.
-    auto git = node_id.find("g");
+    auto git = node_id.find(std::string_view("g"));
     if (git != node_id.end()) {
       res.ground = git->second;
     } else {
@@ -377,6 +412,7 @@ Result* parse_impl(const char* text, int64_t len) {
   auto* out = new Result();
   Builder b;
   b.res.error.clear();
+  b.reserve_hint(len);
   const char* p = text;
   const char* end = text + len;
   std::vector<Field> fields;
@@ -477,7 +513,7 @@ void fn_fill_tables(void* h, int32_t* nodenum, int32_t* anom_of_comp,
 // (matters for 1M-node generated netlists).
 int64_t fn_node_id(void* h, const char* name) {
   auto* r = static_cast<Result*>(h);
-  auto it = r->node_lookup.find(name);
+  auto it = r->node_lookup.find(std::string_view(name));
   return it == r->node_lookup.end() ? -1 : it->second;
 }
 

@@ -149,6 +149,32 @@ class BatchedSolver:
             )
         return self._solve(params_batch)
 
+    def residuals(self, params_batch, solutions):
+        """Relative residuals ``max|G x - b| / max|b|`` per batch element.
+
+        The tridiag/block fast paths assume diagonal dominance (true for
+        positive resistor networks); sweeping parameters to negative or
+        wildly disparate values can leave that domain.  This audit is one
+        f64 matvec per system — cheap next to the solves.
+        """
+        params_batch = jnp.asarray(params_batch, dtype=jnp.float64)
+        solutions = jnp.asarray(solutions, dtype=jnp.float64)
+
+        @jax.jit
+        def audit(params_batch, solutions):
+            G, b = jax.vmap(
+                lambda p: assemble_dense(self.stamps, p, dtype=jnp.float64)
+            )(params_batch)
+            r = b - jnp.einsum(
+                "bij,bj->bi", G, solutions,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
+                jnp.max(jnp.abs(b), axis=1), 1.0
+            )
+
+        return audit(params_batch, solutions)
+
     def params_with(self, overrides: dict[str, np.ndarray]):
         """Build a params batch from per-component value arrays.
 

@@ -40,7 +40,8 @@ def _load():
     so_path = os.path.join(cache_dir, f"fastnetlist_{digest}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", tmp]
+        # C++20 for heterogeneous (string_view) hash-map lookups.
+        cmd = ["g++", "-O3", "-std=c++20", "-shared", "-fPIC", src, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:

@@ -54,6 +54,18 @@ def test_params_with_overrides(tmp_netlist):
     np.testing.assert_array_equal(batch[:, other], [1.0, 1.0, 1.0])
 
 
+def test_residual_audit(tmp_netlist):
+    from nodal_tpu.utils.gridgen import ladder_rows
+
+    circuit = Circuit(Netlist.from_rows(ladder_rows(64)))
+    solver = BatchedSolver(circuit, dtype=jnp.float64)
+    batch = np.tile(circuit.stamps.params, (4, 1))
+    solutions = solver(batch)
+    res = np.asarray(solver.residuals(batch, solutions))
+    assert res.shape == (4,)
+    assert np.all(res < 1e-9)
+
+
 def test_sweep_api(tmp_netlist):
     from nodal_tpu.batch import sweep
 
