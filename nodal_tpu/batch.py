@@ -18,6 +18,8 @@ Typical use:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -226,7 +228,7 @@ def sweep(
     """Solve the circuit once per value of one component (all others at
     their netlist values).  The classic 'DC sweep' — one compiled batched
     solve."""
-    solver = BatchedSolver(circuit, dtype=dtype, refine=refine, method=method)
+    solver = circuit.batched_solver(dtype=dtype, refine=refine, method=method)
     batch = solver.params_with({component: np.asarray(values)})
     return BatchResult(solver(batch), circuit.netlist)
 
@@ -239,26 +241,49 @@ def monte_carlo(
     seed: int = 0,
     dtype=jnp.float32,
     refine: bool = False,
+    return_solutions: bool = False,
 ):
-    """Monte Carlo component-tolerance sweep.
+    """Monte Carlo component-tolerance sweep, fully on device.
 
     Each named component's value is drawn i.i.d. normal around its netlist
-    value with relative standard deviation ``tolerances[name]``.  Returns a
-    dict with the solution batch and summary stats.
+    value with relative standard deviation ``tolerances[name]``.  Sampling,
+    the batched solve, and the summary statistics run as ONE device
+    program — only the [n_unknowns] mean/std vectors (and, if requested,
+    the solution batch) ever cross the host link.  Returns a dict with
+    ``mean``, ``std``, and optionally ``solutions``.
     """
-    solver = BatchedSolver(circuit, dtype=dtype, refine=refine)
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, len(tolerances))
-    overrides = {}
-    for (name, rel_sigma), k in zip(tolerances.items(), keys):
-        nominal = circuit.stamps.params[circuit.stamps.param_slot[name]]
-        noise = 1.0 + rel_sigma * jax.random.normal(k, (n,), dtype=jnp.float32)
-        overrides[name] = nominal * np.asarray(noise)
-    batch = solver.params_with(overrides)
-    solutions = solver(batch)
-    return {
-        "solutions": solutions,
-        "mean": jnp.mean(solutions, axis=0),
-        "std": jnp.std(solutions, axis=0),
-        "params": batch,
-    }
+    solver = circuit.batched_solver(dtype=dtype, refine=refine)
+    names = list(tolerances)
+    slots = jnp.asarray(
+        np.array([circuit.stamps.param_slot[m] for m in names])
+    )
+    sigmas = jnp.asarray(np.array([tolerances[m] for m in names]),
+                         dtype=jnp.float32)
+    base = jnp.asarray(circuit.stamps.params, dtype=jnp.float32)
+
+    # The fused runner is cached on the solver (slots/sigmas are traced
+    # arguments), so repeated sweeps with the same sample count reuse the
+    # compiled program.
+    run = getattr(solver, "_mc_run", None)
+    if run is None:
+
+        @functools.partial(jax.jit, static_argnames=("n", "want"))
+        def run(key, base, slots, sigmas, n, want):
+            noise = jax.random.normal(key, (n, slots.shape[0]),
+                                      dtype=jnp.float32)
+            values = base[slots] * (1.0 + sigmas * noise)
+            batch = jnp.broadcast_to(base, (n, base.shape[0]))
+            batch = batch.at[:, slots].set(values)
+            xs = solver._solve(batch)
+            mean = jnp.mean(xs, axis=0)
+            std = jnp.std(xs, axis=0)
+            return (mean, std, xs) if want else (mean, std, None)
+
+        solver._mc_run = run
+
+    mean, std, xs = run(jax.random.PRNGKey(seed), base, slots, sigmas, n,
+                        return_solutions)
+    out = {"mean": mean, "std": std}
+    if return_solutions:
+        out["solutions"] = xs
+    return out

@@ -164,6 +164,27 @@ class Circuit:
         logger.error("Model error: matrix is singular")
         raise LinAlgError("Singular matrix")
 
+    def batched_solver(self, *, dtype=None, refine: bool = False,
+                       method: str = "auto"):
+        """Memoized BatchedSolver for this circuit.
+
+        Compiled solvers are cached per (dtype, refine, method), so repeated
+        sweeps (e.g. successive monte_carlo calls) reuse the XLA program
+        instead of re-jitting.
+        """
+        import jax.numpy as jnp_
+
+        from nodal_tpu.batch import BatchedSolver
+
+        dtype = jnp_.float32 if dtype is None else dtype
+        key = (np.dtype(dtype).name, refine, method)
+        cache = self.__dict__.setdefault("_batched_solvers", {})
+        if key not in cache:
+            cache[key] = BatchedSolver(
+                self, dtype=dtype, refine=refine, method=method
+            )
+        return cache[key]
+
     # -- inspection (parity helpers) --------------------------------------------
 
     def build_model(self):
