@@ -185,7 +185,11 @@ _PALLAS_VCYCLE_BYTES = 2 * 1024 * 1024  # mega-kernel cutoff (512^2 f32)
 
 
 def _make_pallas_preconditioner(h: int, w: int, dtype, nu: int):
-    from nodal_tpu.ops.pallas_stencil import fused_jacobi, fused_vcycle
+    from nodal_tpu.ops.pallas_stencil import (
+        fused_presmooth_restrict,
+        fused_prolong_postsmooth,
+        fused_vcycle,
+    )
 
     itemsize = jnp.dtype(dtype).itemsize
 
@@ -196,14 +200,11 @@ def _make_pallas_preconditioner(h: int, w: int, dtype, nu: int):
                 r, weight=weight, omega=_JACOBI_OMEGA, nu=nu,
                 coarse_sweeps=_COARSE_SWEEPS, coarsest=_COARSEST_SIZE,
             )
-        x = fused_jacobi(
-            jnp.zeros_like(r), r, weight=weight, omega=_JACOBI_OMEGA,
-            sweeps=nu,
-        )
-        res = r - laplacian_matvec(x, weight)
-        x = x + _prolong(descend(_restrict(res), 2.0 * weight))
-        return fused_jacobi(x, r, weight=weight, omega=_JACOBI_OMEGA,
-                            sweeps=nu)
+        # Finest level(s): one kernel per V-cycle wing (V(1,1) form).
+        rc = fused_presmooth_restrict(r, weight=weight, omega=_JACOBI_OMEGA)
+        zc = descend(rc, 2.0 * weight)
+        return fused_prolong_postsmooth(r, zc, weight=weight,
+                                        omega=_JACOBI_OMEGA)
 
     def M(r):
         out = descend(r, 1.0)

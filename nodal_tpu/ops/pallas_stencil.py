@@ -178,6 +178,154 @@ def fused_jacobi(x, r, *, weight: float = 1.0, omega: float = 0.8,
         )(xp, rp)
 
 
+@functools.partial(jax.jit, static_argnames=("weight", "omega"))
+def fused_presmooth_restrict(r, *, weight: float = 1.0, omega: float = 0.8):
+    """Finest-level V-cycle descent wing in ONE tiled kernel:
+
+        x   = (omega / 4w) * r          (one Jacobi sweep from zero)
+        res = r - L x
+        rc  = restrict(res)             (2x2 block sum, tile-local)
+
+    Returns ``rc`` [h/2, w/2].  ``x`` is not materialized — the ascent wing
+    (fused_prolong_postsmooth) reconstructs it from r, saving a full-field
+    HBM round trip.  Tiles need a 1-row halo for L; the mirror pad supplies
+    it exactly.
+    """
+    h, w = r.shape
+    c = omega / (4.0 * weight)
+
+    def small_kernel(r_ref, rc_ref):
+        rr = r_ref[:]
+        res = rr - _lap(c * rr, weight)
+        rc_ref[:] = _restrict_mm(res)
+
+    if h * w * r.dtype.itemsize <= _SINGLE_BLOCK_BYTES:
+        with _x32_scope():
+            return pl.pallas_call(
+                small_kernel,
+                out_shape=jax.ShapeDtypeStruct((h // 2, w // 2), r.dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=_interpret(),
+            )(r)
+
+    tb = _TILE_ROWS
+    assert h % tb == 0 and tb % 2 == 0
+    k = 4
+    rp = jnp.pad(r, ((k, k), (0, 0)), mode="symmetric")
+    win = tb + 2 * k
+    n_tiles = h // tb
+
+    def kernel(r_hbm, rc_ref, r_vmem, sem):
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * tb, 8)
+        cp = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(start, win), :], r_vmem, sem
+        )
+        cp.start()
+        cp.wait()
+        rr = r_vmem[:]
+        res = (rr - _lap(c * rr, weight))[k : k + tb, :]
+        rc_ref[:] = _restrict_mm(res)
+
+    with _x32_scope():
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            out_shape=jax.ShapeDtypeStruct((h // 2, w // 2), r.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (tb // 2, w // 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((win, w), r.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=_interpret(),
+        )(rp)
+
+
+@functools.partial(jax.jit, static_argnames=("weight", "omega"))
+def fused_prolong_postsmooth(r, zc, *, weight: float = 1.0,
+                             omega: float = 0.8):
+    """Finest-level V-cycle ascent wing in ONE tiled kernel:
+
+        x  = (omega / 4w) * r + prolong(zc)   (pre-smooth value + coarse corr)
+        x' = x + (omega / 4w) * (r - L x)     (post-smooth)
+
+    Tiles need the coarse correction's halo too: ``zc`` rows are prolonged
+    2x, so a 1-coarse-row halo covers the 1-fine-row stencil halo; both
+    fields are mirror-padded outside the kernel.
+    """
+    h, w = r.shape
+    c = omega / (4.0 * weight)
+
+    def small_kernel(r_ref, zc_ref, out_ref):
+        rr = r_ref[:]
+        x = c * rr + _prolong_mm(zc_ref[:])
+        out_ref[:] = x + c * (rr - _lap(x, weight))
+
+    if h * w * r.dtype.itemsize <= _SINGLE_BLOCK_BYTES:
+        with _x32_scope():
+            return pl.pallas_call(
+                small_kernel,
+                out_shape=jax.ShapeDtypeStruct((h, w), r.dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=_interpret(),
+            )(r, zc)
+
+    tb = _TILE_ROWS
+    assert h % tb == 0
+    # Fine halo 8 / coarse halo 4 keeps BOTH DMA windows 8-row aligned
+    # (Mosaic rejects unaligned dynamic slices of tiled memrefs).
+    k = 8
+    kc = k // 2
+    rp = jnp.pad(r, ((k, k), (0, 0)), mode="symmetric")
+    zp = jnp.pad(zc, ((kc, kc), (0, 0)), mode="symmetric")
+    win = tb + 2 * k
+    winc = tb // 2 + 2 * kc
+    n_tiles = h // tb
+
+    def kernel(r_hbm, z_hbm, out_ref, r_vmem, z_vmem, sem):
+        i = pl.program_id(0)
+        cp_r = pltpu.make_async_copy(
+            r_hbm.at[pl.ds(pl.multiple_of(i * tb, 8), win), :], r_vmem,
+            sem.at[0],
+        )
+        cp_z = pltpu.make_async_copy(
+            z_hbm.at[pl.ds(pl.multiple_of(i * (tb // 2), 8), winc), :],
+            z_vmem, sem.at[1],
+        )
+        cp_r.start()
+        cp_z.start()
+        cp_r.wait()
+        cp_z.wait()
+        rr = r_vmem[:]
+        x = c * rr + _prolong_mm(z_vmem[:])
+        out_ref[:] = (x + c * (rr - _lap(x, weight)))[k : k + tb, :]
+
+    with _x32_scope():
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            out_shape=jax.ShapeDtypeStruct((h, w), r.dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((win, w), r.dtype),
+                pltpu.VMEM((winc, w // 2), r.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=_interpret(),
+        )(rp, zp)
+
+
 @functools.partial(
     jax.jit, static_argnames=("weight", "omega", "nu", "coarse_sweeps",
                               "coarsest")
