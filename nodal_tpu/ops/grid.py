@@ -229,17 +229,37 @@ def make_grid_operator(h: int, w: int, dtype):
 
 
 def grid_solve(h, w, b, *, dtype=jnp.float32, tol=1e-7, maxiter=None, mg=True,
-               mg_backend: str = "auto"):
+               mg_backend: str = "auto", fused_cg: bool = False):
     """Solve the grid system for an arbitrary zero-sum injection field ``b``.
 
     Returns ``(x, SolveInfo)`` with x mean-zero.  jit-friendly given static
     (h, w).
     """
     b = jnp.asarray(b, dtype=dtype)
-    matvec = make_grid_operator(h, w, dtype)
-    M = make_mg_preconditioner(h, w, dtype, backend=mg_backend) if mg else None
     if maxiter is None:
         maxiter = 200 if mg else 20 * max(h, w)
+    backend = mg_backend
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "pallas" if (on_tpu and jnp.dtype(dtype) == jnp.float32) else "xla"
+    M = (make_mg_preconditioner(h, w, dtype, backend=backend)
+         if mg else None)
+    itemsize = jnp.dtype(dtype).itemsize
+    if (
+        fused_cg
+        and mg
+        and backend == "pallas"
+        and h * w * itemsize > _PALLAS_VCYCLE_BYTES
+        and h % 256 == 0
+        and h // 256 >= 2
+    ):
+        # Opt-in: CG algebra as fused Pallas kernels (ops.pallas_cg).
+        # Measured at 1024²: 32 ms vs 33 ms with the plain loop — the MG
+        # wings already dominate — at ~3x the compile time, so not default.
+        from nodal_tpu.ops.pallas_cg import fused_grid_cg
+
+        return fused_grid_cg(b - jnp.mean(b), M, tol=tol, maxiter=maxiter)
+    matvec = make_grid_operator(h, w, dtype)
     return cg(matvec, b - jnp.mean(b), preconditioner=M, tol=tol, maxiter=maxiter)
 
 

@@ -163,8 +163,8 @@ def fused_jacobi(x, r, *, weight: float = 1.0, omega: float = 0.8,
             grid=(n_tiles,),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -233,7 +233,7 @@ def fused_presmooth_restrict(r, *, weight: float = 1.0, omega: float = 0.8):
             kernel,
             grid=(n_tiles,),
             out_shape=jax.ShapeDtypeStruct((h // 2, w // 2), r.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (tb // 2, w // 2), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -311,8 +311,8 @@ def fused_prolong_postsmooth(r, zc, *, weight: float = 1.0,
             grid=(n_tiles,),
             out_shape=jax.ShapeDtypeStruct((h, w), r.dtype),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
                 (tb, w), lambda i: (i, 0), memory_space=pltpu.VMEM
