@@ -50,6 +50,37 @@ def grid_csv(
     return "\n".join(",".join(row) for row in grid_rows(h, w, probe_a, probe_b, resistance)) + "\n"
 
 
+def weighted_grid_rows(
+    gx,
+    gy,
+    probe_a: tuple[int, int] | None = None,
+    probe_b: tuple[int, int] | None = None,
+):
+    """Netlist rows for a grid with per-edge conductances.
+
+    ``gx[h, w-1]``/``gy[h-1, w]`` are edge conductances (resistance = 1/g),
+    matching nodal_tpu.ops.grid_weighted's layout — used to cross-validate
+    the matrix-free weighted path against the netlist path.
+    """
+    h, w = gx.shape[0], gy.shape[1]
+
+    def name(i: int, j: int) -> str:
+        if probe_a is not None and (i, j) == tuple(probe_a):
+            return "1"
+        if probe_b is not None and (i, j) == tuple(probe_b):
+            return "g"
+        return f"n{i}_{j}"
+
+    for i in range(h):
+        for j in range(w - 1):
+            yield [f"rh{i}_{j}", "R", repr(1.0 / float(gx[i, j])),
+                   name(i, j), name(i, j + 1)]
+    for i in range(h - 1):
+        for j in range(w):
+            yield [f"rv{i}_{j}", "R", repr(1.0 / float(gy[i, j])),
+                   name(i, j), name(i + 1, j)]
+
+
 def ladder_rows(n: int, resistance: float = 1.0, source: float = 1.0) -> list[list[str]]:
     """An n-rung R-ladder driven by a current source — the 1k-node batched
     sweep benchmark circuit (BASELINE.md 'dense repeat solve' row)."""
