@@ -143,12 +143,21 @@ class Circuit:
     def _rescue(self):
         """Last-resort native-f64 solve on the host CPU backend, for systems
         too ill-conditioned for the primary path (e.g. f32-factored opamp
-        macromodels)."""
+        macromodels).  Everything stays on CPU — emulated-f64 assembly on a
+        TPU default device would pay a pointless slow compile."""
         logger.debug("primary solve failed residual check; retrying on CPU f64")
-        G, b = assemble_dense(self.stamps, self.stamps.params, dtype=jnp.float64)
+        cpu = _cpu_device_or_none()
+        scope = (
+            jax.default_device(cpu) if cpu is not None
+            else contextlib.nullcontext()
+        )
         try:
-            x = dense_solve.solve_on_cpu(G, b)
-            residual = _rel_residual(G, b, x)
+            with scope:
+                G, b = assemble_dense(
+                    self.stamps, self.stamps.params, dtype=jnp.float64
+                )
+                x = dense_solve.solve_on_cpu(G, b)
+                residual = _rel_residual(G, b, x)
             return np.asarray(x, dtype=np.float64), float(residual)
         except Exception:  # pragma: no cover - backend-specific failures
             return np.full(self.stamps.n, np.nan), np.inf
