@@ -159,7 +159,10 @@ struct Builder {
     // stops at the delimiter, so no per-field copy is needed.
     char* end = nullptr;
     *out = std::strtod(f.p, &end);
-    return end == f.p + f.len;
+    // Accept trailing blanks, matching Python's float() ("1.0 ," parses).
+    const char* stop = f.p + f.len;
+    while (end < stop && (*end == ' ' || *end == '\t')) ++end;
+    return end == stop && end != f.p;
   }
 
   static int32_t type_of(const Field& f) {

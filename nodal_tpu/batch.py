@@ -95,6 +95,18 @@ class BatchedSolver:
                 method = "block"
             else:
                 method = "dense"
+        elif method in ("tridiag", "block") and not resistive:
+            raise ValueError(
+                f"method={method!r} requires a purely resistive circuit "
+                "(branch equations put zeros on the diagonal)"
+            )
+        elif method == "tridiag" and bandwidth(self.stamps) > 1:
+            # Band assembly silently drops out-of-band entries; forcing the
+            # method on a wider matrix would return wrong answers.
+            raise ValueError(
+                f"method='tridiag' requires bandwidth <= 1; this circuit "
+                f"has bandwidth {bandwidth(self.stamps)}"
+            )
         self.method = method
 
         if method == "tridiag":
@@ -106,14 +118,18 @@ class BatchedSolver:
                     dl, d, du, b = jax.vmap(
                         lambda p: assemble_tridiag(self.stamps, p, dtype=dtype)
                     )(params_batch)
-                    # Pallas VMEM-resident PCR on TPU f32 (one HBM pass);
-                    # generic XLA PCR elsewhere.
+                    # Pallas VMEM-resident PCR on TPU f32 (one HBM pass)
+                    # when the chain fits VMEM; generic XLA PCR otherwise.
+                    from nodal_tpu.ops.pallas_tridiag import (
+                        pcr_fits_vmem,
+                        pcr_solve_padded,
+                    )
+
                     if (
                         jax.default_backend() == "tpu"
                         and jnp.dtype(dtype) == jnp.float32
+                        and pcr_fits_vmem(self.stamps.n)
                     ):
-                        from nodal_tpu.ops.pallas_tridiag import pcr_solve_padded
-
                         return pcr_solve_padded(dl, d, du, b)
                     return tridiag.tridiag_solve(dl, d, du, b)
         elif method == "block":
@@ -253,13 +269,14 @@ def monte_carlo(
     ``mean``, ``std``, and optionally ``solutions``.
     """
     solver = circuit.batched_solver(dtype=dtype, refine=refine)
+    sample_dtype = jnp.dtype(dtype)  # draws match the requested precision
     names = list(tolerances)
     slots = jnp.asarray(
         np.array([circuit.stamps.param_slot[m] for m in names])
     )
     sigmas = jnp.asarray(np.array([tolerances[m] for m in names]),
-                         dtype=jnp.float32)
-    base = jnp.asarray(circuit.stamps.params, dtype=jnp.float32)
+                         dtype=sample_dtype)
+    base = jnp.asarray(circuit.stamps.params, dtype=sample_dtype)
 
     # The fused runner is cached on the solver (slots/sigmas are traced
     # arguments), so repeated sweeps with the same sample count reuse the
@@ -270,7 +287,7 @@ def monte_carlo(
         @functools.partial(jax.jit, static_argnames=("n", "want"))
         def run(key, base, slots, sigmas, n, want):
             noise = jax.random.normal(key, (n, slots.shape[0]),
-                                      dtype=jnp.float32)
+                                      dtype=base.dtype)
             values = base[slots] * (1.0 + sigmas * noise)
             batch = jnp.broadcast_to(base, (n, base.shape[0]))
             batch = batch.at[:, slots].set(values)

@@ -51,6 +51,12 @@ _RESIDUAL_TOL = {np.dtype(np.float32): 3e-2, np.dtype(np.float64): 1e-3}
 # accelerator explicitly regardless (nodal_tpu.batch / nodal_tpu.ops.grid).
 _SMALL_SYSTEM_N = int(os.environ.get("NODAL_TPU_SMALL_SYSTEM_N", "2048"))
 
+# Above this many unknowns the dense CPU-f64 rescue is skipped: an n^2 f64
+# matrix would be enormous, and Krylov non-convergence at that scale is a
+# solver-tuning problem, not evidence of singularity.
+_DENSE_RESCUE_MAX_N = int(os.environ.get("NODAL_TPU_DENSE_RESCUE_MAX_N",
+                                         "16384"))
+
 
 def default_dtype():
     """float64 when x64 is enabled (parity/CLI mode), else float32 (TPU
@@ -145,6 +151,16 @@ class Circuit:
         too ill-conditioned for the primary path (e.g. f32-factored opamp
         macromodels).  Everything stays on CPU — emulated-f64 assembly on a
         TPU default device would pay a pointless slow compile."""
+        if self.stamps.n > _DENSE_RESCUE_MAX_N:
+            # A dense n^2 f64 rescue is senseless at this scale (and a
+            # stalled-but-solvable Krylov run must not masquerade as
+            # singular via an allocation failure).
+            logger.error(
+                "iterative solve did not converge on %d unknowns; dense "
+                "rescue skipped (limit %d)",
+                self.stamps.n, _DENSE_RESCUE_MAX_N,
+            )
+            return np.full(self.stamps.n, np.nan), np.inf
         logger.debug("primary solve failed residual check; retrying on CPU f64")
         cpu = _cpu_device_or_none()
         scope = (

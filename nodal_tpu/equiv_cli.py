@@ -76,6 +76,13 @@ def _try_native(args) -> float | None:
         return equivalent_resistance_stamps(stamps, ia, ib)
     except native.NativeUnavailable:
         return None
+    except NotImplementedError:
+        # OPAMP rows: a non-resistive netlist — same surface as ValueError.
+        raise ValueError("Network is not resistive") from None
+    except RuntimeError as e:
+        print("Solver error\n")
+        print(e.args[0])
+        sys.exit(1)
 
 
 def main(argv=None) -> None:

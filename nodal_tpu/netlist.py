@@ -53,9 +53,11 @@ def validate_row(data: Row) -> None:
     """Validate one CSV row; raise NetlistError (a ValueError) if malformed.
 
     Accepts (silently) empty rows and ``#`` comments, mirroring the
-    reference's check_input (nodal.py:150-178).
+    reference's check_input (nodal.py:150-178).  ``data[0][:1]`` (not
+    ``[0]``) so a row with an empty name field doesn't crash with
+    IndexError.
     """
-    if len(data) == 0 or data[0][0] == "#":
+    if len(data) == 0 or data[0][:1] == "#":
         return
     name = data[const.NCOL]
     if len(data) < 5:
@@ -232,13 +234,14 @@ class Netlist:
         Mirrors reference nodal.py:222-257.  OPMODEL rows are queued for
         deferred expansion by :meth:`finalize`.
         """
-        if not data or data[0][0] == "#":
+        if not data or data[0][:1] == "#":
             return
-        validate_row(data)  # clean NetlistError even for truncated rows
-        if data[const.TCOL] == "OPMODEL":
+        if len(data) > const.TCOL and data[const.TCOL] == "OPMODEL":
+            validate_row(data)
             self.opmodel_equivalents.extend(build_opmodel(data))
             return
 
+        # from_row validates (clean NetlistError even for truncated rows).
         comp = Component.from_row(data)
         if comp.name in self.components:
             raise NetlistError(f"Duplicate component name {comp.name!r}")

@@ -140,7 +140,11 @@ def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1,
     if backend == "auto":
         on_tpu = jax.default_backend() == "tpu"
         f32 = jnp.dtype(dtype) == jnp.float32
-        backend = "pallas" if (on_tpu and f32) else "xla"
+        backend = (
+            "pallas"
+            if (on_tpu and f32 and _pallas_shapes_ok(h, w, 4))
+            else "xla"
+        )
     if backend == "pallas":
         return _make_pallas_preconditioner(h, w, dtype, nu)
     levels = _build_levels(h, w)
@@ -184,12 +188,31 @@ def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1,
 _PALLAS_VCYCLE_BYTES = 2 * 1024 * 1024  # mega-kernel cutoff (512^2 f32)
 
 
+def _pallas_shapes_ok(h: int, w: int, itemsize: int) -> bool:
+    """True iff the Pallas MG kernels support this hierarchy: every level
+    above the mega-kernel cutoff must tile into 256-row bands with even
+    dims, and the mega-kernel entry level must fit its VMEM budget (which
+    an odd-dimension stop above ~4 MB would violate)."""
+    while h * w * itemsize > _PALLAS_VCYCLE_BYTES:
+        if h % 256 or h // 256 < 2 or w % 2 or h % 2:
+            return False
+        h, w = h // 2, w // 2
+    return True
+
+
 def _make_pallas_preconditioner(h: int, w: int, dtype, nu: int):
     from nodal_tpu.ops.pallas_stencil import (
         fused_presmooth_restrict,
         fused_prolong_postsmooth,
         fused_vcycle,
     )
+
+    if not _pallas_shapes_ok(h, w, jnp.dtype(dtype).itemsize):
+        raise ValueError(
+            f"pallas MG backend does not support a {h}x{w} grid (levels "
+            "above the VMEM cutoff must be even and 256-row-tileable); "
+            "use mg_backend='xla'"
+        )
 
     itemsize = jnp.dtype(dtype).itemsize
 
@@ -241,7 +264,15 @@ def grid_solve(h, w, b, *, dtype=jnp.float32, tol=1e-7, maxiter=None, mg=True,
     backend = mg_backend
     if backend == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if (on_tpu and jnp.dtype(dtype) == jnp.float32) else "xla"
+        backend = (
+            "pallas"
+            if (
+                on_tpu
+                and jnp.dtype(dtype) == jnp.float32
+                and _pallas_shapes_ok(h, w, jnp.dtype(dtype).itemsize)
+            )
+            else "xla"
+        )
     M = (make_mg_preconditioner(h, w, dtype, backend=backend)
          if mg else None)
     itemsize = jnp.dtype(dtype).itemsize

@@ -28,12 +28,22 @@ from nodal_tpu.ops.tridiag import _next_pow2
 _VMEM_BUDGET = 8 * 1024 * 1024
 
 
-def _pick_tile(m: int, itemsize: int) -> int:
+def _pick_tile(m: int, itemsize: int) -> int | None:
+    """Batch tile that fits the VMEM budget, or None when even the minimum
+    8-system tile would not fit (very long chains) — callers must fall back
+    to the XLA PCR in that case."""
     tile = _VMEM_BUDGET // (5 * 2 * m * itemsize)
+    if tile < 8:
+        return None
     p = 8
     while p * 2 <= min(tile, 512):
         p *= 2
     return p
+
+
+def pcr_fits_vmem(n: int, itemsize: int = 4) -> bool:
+    """Whether the VMEM-resident PCR kernel supports chains of length n."""
+    return _pick_tile(_next_pow2(n), itemsize) is not None
 
 
 def _interpret() -> bool:
@@ -68,6 +78,11 @@ def pcr_solve(dl, d, du, b, *, tile: int | None = None):
     m = _next_pow2(n)
     if tile is None:
         tile = _pick_tile(m, d.dtype.itemsize)
+        if tile is None:
+            raise ValueError(
+                f"chain length {n} exceeds the VMEM PCR budget; use "
+                "ops.tridiag.tridiag_solve (check pcr_fits_vmem first)"
+            )
     if B % tile:
         raise ValueError(f"batch {B} not divisible by tile {tile}")
 
@@ -135,6 +150,11 @@ def pcr_solve_padded(dl, d, du, b, tile: int | None = None):
     """pcr_solve with automatic batch padding to the tile multiple."""
     if tile is None:
         tile = _pick_tile(_next_pow2(d.shape[1]), d.dtype.itemsize)
+        if tile is None:
+            raise ValueError(
+                f"chain length {d.shape[1]} exceeds the VMEM PCR budget; "
+                "use ops.tridiag.tridiag_solve (check pcr_fits_vmem first)"
+            )
     B = d.shape[0]
     pad = (-B) % tile
     if pad:

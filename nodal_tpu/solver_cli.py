@@ -74,10 +74,11 @@ def _try_native(args) -> bool:
     x, info = solve_sparse_system(stamps, stamps.params)
     x = np.asarray(x, dtype=np.float64)
     if not bool(info.converged) or not np.all(np.isfinite(x)):
-        import logging
-
-        logging.error("Model error: unconnected circuit or singular system")
-        sys.exit(1)
+        # Non-convergence here does NOT imply a singular system (Krylov can
+        # stall on hard-but-solvable MNA systems) — fall back to the full
+        # Python path, whose Circuit.solve has the dense rescue and the
+        # uniform singularity diagnosis.
+        return False
 
     lines = [f"Ground node: {symbols.ground}"]
     for name, row in sorted(symbols.node_rows()):
