@@ -294,6 +294,41 @@ def grid_solve(h, w, b, *, dtype=jnp.float32, tol=1e-7, maxiter=None, mg=True,
     return cg(matvec, b - jnp.mean(b), preconditioner=M, tol=tol, maxiter=maxiter)
 
 
+def grid_equivalent_resistance_many(
+    h: int,
+    w: int,
+    pairs,
+    *,
+    resistance: float = 1.0,
+    dtype=jnp.float32,
+    tol=1e-7,
+    maxiter=None,
+    mg: bool = True,
+    mg_backend: str = "auto",
+):
+    """Equivalent resistance for MANY probe pairs at once.
+
+    ``pairs`` is [P, 2, 2] int — P pairs of (row, col) probe coordinates.
+    The operator is identical for every pair (only the injection field
+    changes), so the whole family solves as one vmapped MG-CG program.
+    Returns ``(R [P], residuals [P])``.
+    """
+    pairs = jnp.asarray(pairs)
+
+    def one(pair):
+        (ar, ac), (br, bc) = pair[0], pair[1]
+        rhs = (
+            jnp.zeros((h, w), dtype=dtype)
+            .at[ar, ac].add(1.0)
+            .at[br, bc].add(-1.0)
+        )
+        x, info = grid_solve(h, w, rhs, dtype=dtype, tol=tol,
+                             maxiter=maxiter, mg=mg, mg_backend=mg_backend)
+        return (x[ar, ac] - x[br, bc]) * resistance, info.residual
+
+    return jax.vmap(one)(pairs)
+
+
 def grid_equivalent_resistance(
     h: int,
     w: int,

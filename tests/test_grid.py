@@ -68,6 +68,27 @@ def test_grid_solve_respects_injection_field():
     assert x[1, 1] > x[6, 6]
 
 
+def test_many_probe_pairs_match_single():
+    from nodal_tpu.ops.grid import grid_equivalent_resistance_many
+
+    h = w = 16
+    pairs = np.array([
+        [[0, 0], [15, 15]],
+        [[3, 3], [4, 5]],
+        [[8, 8], [9, 10]],
+    ])
+    rs, residuals = grid_equivalent_resistance_many(
+        h, w, pairs, dtype=jnp.float64, tol=1e-10
+    )
+    assert np.all(np.asarray(residuals) < 1e-9)
+    for k in range(len(pairs)):
+        r_single, _ = grid_equivalent_resistance(
+            h, w, tuple(pairs[k, 0]), tuple(pairs[k, 1]),
+            dtype=jnp.float64, tol=1e-10,
+        )
+        np.testing.assert_allclose(float(rs[k]), float(r_single), rtol=1e-8)
+
+
 def test_gridgen_csv_roundtrip(tmp_path):
     text = grid_csv(3, 3, probe_a=(0, 0), probe_b=(2, 2))
     p = tmp_path / "grid.csv"
