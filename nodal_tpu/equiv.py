@@ -59,6 +59,7 @@ def equivalent_resistance_stamps(stamps, row_a: int, row_b: int, *,
     ``nodal-resistance`` CLI takes for large netlists via the native parser
     (nodal_tpu.utils.native).
     """
+    import jax
     import jax.numpy as jnp
 
     from nodal_tpu.ops.sparse import solve_sparse_system
@@ -66,22 +67,73 @@ def equivalent_resistance_stamps(stamps, row_a: int, row_b: int, *,
     if stamps.n != stamps.n_kcl:
         raise ValueError("Network is not resistive")
     if dtype is None:
-        import jax
-
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
-    rhs = jnp.zeros(stamps.n, dtype=dtype)
+    # One-shot CLI economics: below ~256k unknowns, host-CPU CG beats the
+    # accelerator's ~2 min remote-compile latency outright (measured:
+    # 90k-node solve = ~15 s CPU vs 131 s TPU cold).  Library users doing
+    # repeated solves can pass dtype/device explicitly.
+    import contextlib
+
+    cpu = None
+    if stamps.n <= 262_144 and jax.default_backend() != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # pragma: no cover
+            cpu = None
+    scope = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with scope:
+        return _equivalent_resistance_stamps_impl(stamps, row_a, row_b,
+                                                  dtype, tol,
+                                                  on_cpu=cpu is not None)
+
+
+def _equivalent_resistance_stamps_impl(stamps, row_a, row_b, dtype, tol,
+                                       on_cpu: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from nodal_tpu.ops.sparse import solve_sparse_system
+
+    # TPU has no native f64: thousands of emulated-f64 CG iterations at
+    # large n are pathologically slow (and have crashed the worker at 1M
+    # unknowns).  Solve in f32 and refine with f64 residuals instead —
+    # one emulated matvec per refinement step is cheap.  (CPU executions
+    # run f64 natively; no refinement dance needed.)
+    refine_f64 = (
+        jnp.dtype(dtype) == jnp.float64
+        and not on_cpu
+        and jax.default_backend() == "tpu"
+    )
+    solve_dtype = jnp.float32 if refine_f64 else dtype
+    solve_tol = max(tol, 1e-6) if refine_f64 else tol
+
+    rhs = jnp.zeros(stamps.n, dtype=solve_dtype)
     if row_a >= 0:
         rhs = rhs.at[row_a].add(1.0)
     if row_b >= 0:
         rhs = rhs.at[row_b].add(-1.0)
 
-    x, info = solve_sparse_system(stamps, stamps.params, dtype=dtype,
-                                  tol=tol, rhs=rhs)
+    x, info = solve_sparse_system(stamps, stamps.params, dtype=solve_dtype,
+                                  tol=solve_tol, rhs=rhs)
     if not bool(info.converged):
         raise RuntimeError(
             f"CG did not converge (residual {float(info.residual):.2e})"
         )
+    if refine_f64:
+        from nodal_tpu.ops.sparse import _topology, coo_matvec, sparse_values
+
+        topo = _topology(stamps)
+        vals64 = sparse_values(topo, stamps,
+                               jnp.asarray(stamps.params, jnp.float64))
+        x = x.astype(jnp.float64)
+        for _ in range(2):
+            r = rhs.astype(jnp.float64) - coo_matvec(topo, vals64, x)
+            dx, _ = solve_sparse_system(
+                stamps, stamps.params, dtype=jnp.float32, tol=solve_tol,
+                rhs=r.astype(jnp.float32),
+            )
+            x = x + dx.astype(jnp.float64)
     ea = float(x[row_a]) if row_a >= 0 else 0.0
     eb = float(x[row_b]) if row_b >= 0 else 0.0
     return ea - eb
