@@ -95,6 +95,30 @@ def test_zero_resistance_rejected(tmp_netlist):
         Circuit(Netlist(tmp_netlist("r1,R,0,1,g\ne1,E,1,1,g\n")))
 
 
+def test_degenerate_netlists():
+    from numpy.linalg import LinAlgError
+
+    # Single resistor: trivially solvable, node floats at 0.
+    s = Circuit(Netlist.from_rows([["r1", "R", "1", "1", "g"]])).solve()
+    assert s.potential("1") == 0.0
+
+    # Lone current source: no conductance anywhere -> genuinely singular.
+    with pytest.raises(LinAlgError):
+        Circuit(Netlist.from_rows([["a1", "A", "1", "1", "g"]])).solve()
+
+    # Lone voltage source: branch equation pins the node.
+    s = Circuit(Netlist.from_rows([["e1", "E", "5", "1", "g"]])).solve()
+    np.testing.assert_allclose(s.potential("1"), 5.0)
+    np.testing.assert_allclose(s.current("e1"), 0.0, atol=1e-12)
+
+    # No explicit ground: degree election picks the first max-degree node.
+    s = Circuit(Netlist.from_rows(
+        [["r1", "R", "2", "a", "b"], ["e1", "E", "4", "a", "b"]]
+    )).solve()
+    assert s.ground == "a"
+    np.testing.assert_allclose(s.potential("b"), -4.0)
+
+
 def test_against_numpy_reference(tmp_netlist):
     # Independent cross-check: numpy.linalg.solve on our assembled system
     # must agree with the jitted device solve to 1e-9.
