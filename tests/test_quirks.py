@@ -67,6 +67,25 @@ def test_ccvs_with_anomalous_driver():
     np.testing.assert_allclose(solution.potential("2"), 10.0, rtol=1e-9)
 
 
+def test_chained_anomalous_drivers():
+    # CCCS driven by another CCCS — two levels past what the reference can
+    # express (it crashes on any anomalous driver, Q2).
+    rows = [
+        ["e1", "E", "1", "1", "g"],
+        ["r1", "R", "1", "1", "g"],
+        ["f1", "CCCS", "2", "2", "g", "1", "g", "e1"],
+        ["r2", "R", "1", "2", "g"],
+        ["f2", "CCCS", "3", "3", "g", "2", "g", "f1"],
+        ["r3", "R", "1", "3", "g"],
+    ]
+    solution = Circuit(Netlist.from_rows(rows)).solve()
+    # i_E = e(1)/R1 = 1; i_f1 = 2 i_E = 2 -> e(2) = 2; i_f2 = 3 i_f1 = 6.
+    np.testing.assert_allclose(solution.current("f1"), 2.0, rtol=1e-9)
+    np.testing.assert_allclose(solution.potential("2"), 2.0, rtol=1e-9)
+    np.testing.assert_allclose(solution.current("f2"), 6.0, rtol=1e-9)
+    np.testing.assert_allclose(solution.potential("3"), 6.0, rtol=1e-9)
+
+
 def test_control_driver_mismatch_rejected():
     rows = [
         ["e1", "E", "2", "1", "g"],
