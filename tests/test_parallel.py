@@ -69,6 +69,23 @@ def test_sharded_grid_solver_matches_local():
         np.testing.assert_allclose(xs[i], np.asarray(x_ref), rtol=1e-6, atol=1e-9)
 
 
+def test_sharded_grid_mg_deep_hierarchy():
+    # 128x128 over sp=4: the multigrid hierarchy (128 -> 8) spans shard
+    # boundaries at every level; GSPMD must partition restrict/prolong and
+    # the coarse sweeps correctly.
+    mesh = make_mesh(8)
+    h = w = 128
+    rhs = _rhs_batch(2, h, w, seed=11)
+    solver = make_sharded_grid_solver(h, w, mesh, dtype=jnp.float64,
+                                      tol=1e-10)
+    xs, residuals = solver(jnp.asarray(rhs))
+    assert np.all(np.asarray(residuals) < 1e-9)
+    x_ref, _ = grid_solve(h, w, jnp.asarray(rhs[0]), dtype=jnp.float64,
+                          tol=1e-10)
+    np.testing.assert_allclose(np.asarray(xs)[0], np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_halo_grid_solver_matches_local():
     mesh = make_mesh(8)  # dp=2, sp=4
     h = w = 16
