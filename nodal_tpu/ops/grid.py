@@ -19,8 +19,9 @@ operators.  Coarsening merges 2×2 node blocks; electrically, two parallel
 unit resistors bridge adjacent blocks, so the coarse grid is again a uniform
 resistor grid with doubled edge weight — ``P^T L_w P = L_{2w}`` holds
 exactly for prolongation-by-replication, including boundary rows.  The
-coarsest level is solved exactly with a precomputed pseudo-inverse (the
-Neumann nullspace projects out for free).
+coarsest level runs many rolled Jacobi sweeps with mean projection — an
+exact pinv solve would embed a constant matrix, which costs ~100 s of
+remote-TPU compile time (NOTES.md).
 """
 
 from __future__ import annotations
@@ -47,16 +48,6 @@ _COARSEST_SIZE = 8  # stop coarsening when min(H, W) <= this
 # Tuned on a 512-grid point-source problem: (sweeps=96, coarsest=8, nu=1)
 # gives 42 CG iterations vs 50 for (48, 4, 1).
 _COARSE_SWEEPS = 96
-
-
-def _degree(h: int, w: int) -> np.ndarray:
-    """Node degrees of the H×W grid graph (4 interior, 3 edge, 2 corner)."""
-    deg = np.full((h, w), 4.0)
-    deg[0, :] -= 1.0
-    deg[-1, :] -= 1.0
-    deg[:, 0] -= 1.0
-    deg[:, -1] -= 1.0
-    return deg
 
 
 def _neighbor_sum_replicate(x):
