@@ -21,14 +21,19 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: int | None = None, sp: int | None = None) -> Mesh:
+def make_mesh(n_devices: int | None = None, sp: int | None = None,
+              devices=None) -> Mesh:
     """A (dp, sp) mesh over the first ``n_devices`` devices.
 
     ``sp`` defaults to the largest power of two ≤ 4 dividing the device
     count — enough system-parallel width to exercise halo exchange while
-    keeping data parallelism available.
+    keeping data parallelism available.  Pass ``devices`` explicitly to
+    build over a specific backend's devices (e.g. virtual CPU devices when
+    another platform is the default).
     """
-    devices = jax.devices()[: n_devices or len(jax.devices())]
+    if devices is None:
+        devices = jax.devices()
+    devices = devices[: n_devices or len(devices)]
     n = len(devices)
     if sp is None:
         sp = 1

@@ -55,12 +55,19 @@ def make_sharded_grid_solver(
     tol: float = 1e-6,
     maxiter: int | None = None,
     mg: bool = True,
+    mg_backend: str = "auto",
 ):
     """Compile a batched grid solver with 2D sharding: the batch of systems
     over ``dp``, each system's row (node) axis over ``sp``.
 
     Returns ``b_batch [B, H, W] -> (x_batch [B, H, W], residuals [B])``.
     """
+    if mg_backend == "auto":
+        # Always the XLA cycle here: GSPMD partitions its pad/slice stencils
+        # automatically, whereas Pallas kernels do not shard — and the mesh
+        # may be virtual CPU devices while an accelerator is the session
+        # default.
+        mg_backend = "xla"
     in_sharding = NamedSharding(mesh, P("dp", "sp", None))
     out_sharding = (
         NamedSharding(mesh, P("dp", "sp", None)),
@@ -68,7 +75,8 @@ def make_sharded_grid_solver(
     )
 
     def single(b):
-        x, info = grid_solve(h, w, b, dtype=dtype, tol=tol, maxiter=maxiter, mg=mg)
+        x, info = grid_solve(h, w, b, dtype=dtype, tol=tol, maxiter=maxiter,
+                             mg=mg, mg_backend=mg_backend)
         return x, info.residual
 
     return jax.jit(
