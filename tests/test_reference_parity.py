@@ -97,12 +97,33 @@ def test_randomized_parity(reference, seed, tmp_path):
     rows.append(f"e0,E,{rng.uniform(1, 5):.4f},1,g")
     rows.append(f"a0,A,{rng.uniform(0.5, 2):.4f},2,3")
     rows.append(f"d0,VCVS,{rng.uniform(0.5, 2):.4f},4,g,2,g")
-    # Current-controlled source with an R driver (works in the reference).
+    # Current-controlled sources with R drivers (work in the reference).
     rows.append(f"f0,CCCS,{rng.uniform(0.5, 2):.4f},5,g,1,2,rc0")
+    rows.append(f"h0,CCVS,{rng.uniform(0.5, 2):.4f},6,g,2,3,rc1")
 
     path = tmp_path / "rand.csv"
     path.write_text("\n".join(rows) + "\n")
     assert_parity(reference, str(path), rtol=1e-8, atol=1e-11)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_randomized_vccs_quirk_parity(reference, seed, tmp_path):
+    # VCCS rows under Quirks(vccs_as_vcvs=True) must track the reference's
+    # aliased semantics bit for bit even where true VCCS would differ.
+    from nodal_tpu import Quirks
+
+    rng = np.random.default_rng(500 + seed)
+    rows = [
+        f"e1,E,{rng.uniform(1, 3):.4f},1,g",
+        f"r1,R,{rng.uniform(0.5, 4):.4f},1,2",
+        f"r2,R,{rng.uniform(0.5, 4):.4f},2,g",
+        f"r3,R,{rng.uniform(0.5, 4):.4f},3,g",
+        f"d,VCCS,{rng.uniform(0.3, 2):.4f},3,g,2,g",
+    ]
+    path = tmp_path / "vccs.csv"
+    path.write_text("\n".join(rows) + "\n")
+    assert_parity(reference, str(path), quirks=Quirks(vccs_as_vcvs=True),
+                  rtol=1e-9, atol=1e-12)
 
 
 def test_reference_equiv_parity(reference, tmp_path):
