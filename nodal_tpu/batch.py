@@ -30,6 +30,10 @@ from nodal_tpu.ops.assemble import assemble_dense
 from nodal_tpu.ops import dense_solve
 
 
+# Transient f64 memory ceiling for the chunked dense residual audit.
+_AUDIT_CHUNK_BYTES = 512 << 20
+
+
 def _refined_tridiag_solver(stamps, dtype, iters: int = 2):
     """Band-space mixed precision: f32 PCR solves, f64 band residuals."""
     from nodal_tpu.ops.assemble import assemble_tridiag
@@ -87,6 +91,11 @@ class BatchedSolver:
         self.dtype = dtype
         self.refine = refine
 
+        if method not in ("auto", "tridiag", "block", "dense"):
+            raise ValueError(
+                f"unknown method {method!r}; expected one of "
+                "'auto', 'tridiag', 'block', 'dense'"
+            )
         resistive = self.stamps.n == self.stamps.n_kcl  # no branch equations
         if method == "auto":
             if resistive and bandwidth(self.stamps) <= 1:
@@ -173,25 +182,67 @@ class BatchedSolver:
         The tridiag/block fast paths assume diagonal dominance (true for
         positive resistor networks); sweeping parameters to negative or
         wildly disparate values can leave that domain.  This audit is one
-        f64 matvec per system — cheap next to the solves.
+        f64 matvec per system — cheap next to the solves.  On the tridiag
+        path the matvec stays in band space (O(B·n)); otherwise the dense
+        f64 re-assembly is chunked so the audit never holds more than one
+        [chunk, n, n] matrix.
         """
-        params_batch = jnp.asarray(params_batch, dtype=jnp.float64)
-        solutions = jnp.asarray(solutions, dtype=jnp.float64)
+        params_batch = np.asarray(params_batch, dtype=np.float64)
+        solutions = np.asarray(solutions, dtype=np.float64)
+
+        if self.method == "tridiag":
+            from nodal_tpu.ops.assemble import assemble_tridiag
+            from nodal_tpu.ops.tridiag import tridiag_matvec
+
+            @jax.jit
+            def audit_band(pb, xs):
+                dl, d, du, b = jax.vmap(
+                    lambda p: assemble_tridiag(self.stamps, p,
+                                               dtype=jnp.float64)
+                )(pb)
+                r = b - tridiag_matvec(dl, d, du, xs)
+                return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
+                    jnp.max(jnp.abs(b), axis=1), 1.0
+                )
+
+            return audit_band(jnp.asarray(params_batch),
+                              jnp.asarray(solutions))
 
         @jax.jit
-        def audit(params_batch, solutions):
+        def audit_dense(pb, xs):
             G, b = jax.vmap(
                 lambda p: assemble_dense(self.stamps, p, dtype=jnp.float64)
-            )(params_batch)
+            )(pb)
             r = b - jnp.einsum(
-                "bij,bj->bi", G, solutions,
+                "bij,bj->bi", G, xs,
                 precision=jax.lax.Precision.HIGHEST,
             )
             return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
                 jnp.max(jnp.abs(b), axis=1), 1.0
             )
 
-        return audit(params_batch, solutions)
+        # Bound the transient [chunk, n, n] f64 assembly.
+        B = params_batch.shape[0]
+        chunk = max(1, min(B, _AUDIT_CHUNK_BYTES // max(self.stamps.n ** 2 * 8, 1)))
+        if chunk >= B:
+            return audit_dense(jnp.asarray(params_batch),
+                               jnp.asarray(solutions))
+        out = []
+        for lo in range(0, B, chunk):
+            pb = params_batch[lo:lo + chunk]
+            xs = solutions[lo:lo + chunk]
+            if len(pb) < chunk:  # pad to the compiled chunk shape
+                pad = chunk - len(pb)
+                pb = np.concatenate(
+                    [pb, np.tile(self.stamps.params, (pad, 1))])
+                xs = np.concatenate(
+                    [xs, np.zeros((pad, xs.shape[1]))])
+                out.append(np.asarray(
+                    audit_dense(jnp.asarray(pb), jnp.asarray(xs)))[:-pad])
+            else:
+                out.append(np.asarray(
+                    audit_dense(jnp.asarray(pb), jnp.asarray(xs))))
+        return jnp.asarray(np.concatenate(out))
 
     def params_with(self, overrides: dict[str, np.ndarray]):
         """Build a params batch from per-component value arrays.
@@ -258,6 +309,7 @@ def monte_carlo(
     dtype=jnp.float32,
     refine: bool = False,
     return_solutions: bool = False,
+    audit: bool = True,
 ):
     """Monte Carlo component-tolerance sweep, fully on device.
 
@@ -267,6 +319,15 @@ def monte_carlo(
     program — only the [n_unknowns] mean/std vectors (and, if requested,
     the solution batch) ever cross the host link.  Returns a dict with
     ``mean``, ``std``, and optionally ``solutions``.
+
+    With ``audit=True`` (the default) every sample's solution is verified
+    with an f64 residual check (:meth:`BatchedSolver.residuals`) and the
+    result reported as ``max_residual``.  This matters because normal draws
+    with a large relative ``tolerance`` can produce *negative* component
+    values, leaving the diagonal-dominance domain the no-pivot tridiag /
+    block fast paths assume — a silent-wrong-answer regime the audit turns
+    into a logged warning.  Pass ``audit=False`` to skip the extra matvec
+    pass (and call ``residuals()`` yourself on ``solutions``).
     """
     solver = circuit.batched_solver(dtype=dtype, refine=refine)
     sample_dtype = jnp.dtype(dtype)  # draws match the requested precision
@@ -294,13 +355,36 @@ def monte_carlo(
             xs = solver._solve(batch)
             mean = jnp.mean(xs, axis=0)
             std = jnp.std(xs, axis=0)
-            return (mean, std, xs) if want else (mean, std, None)
+            return (mean, std, xs if want else None, batch)
 
         solver._mc_run = run
 
-    mean, std, xs = run(jax.random.PRNGKey(seed), base, slots, sigmas, n,
-                        return_solutions)
+    want_xs = return_solutions or audit
+    mean, std, xs, batch = run(jax.random.PRNGKey(seed), base, slots, sigmas,
+                               n, want_xs)
     out = {"mean": mean, "std": std}
     if return_solutions:
         out["solutions"] = xs
+    if audit:
+        res = solver.residuals(batch, xs)
+        max_residual = float(jnp.max(res))
+        out["max_residual"] = max_residual
+        if not np.isfinite(max_residual) or max_residual > _AUDIT_WARN_TOL:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "monte_carlo: %d of %d samples exceed residual %.0e "
+                "(worst %.2e) — large tolerances can draw negative "
+                "component values outside the fast paths' "
+                "diagonal-dominance domain; consider refine=True or a "
+                "smaller tolerance",
+                int(jnp.sum(res > _AUDIT_WARN_TOL)), n, _AUDIT_WARN_TOL,
+                max_residual,
+            )
     return out
+
+
+#: Relative-residual level above which monte_carlo's audit warns.  An f32
+#: fast-path solve of a well-conditioned system lands around 1e-6; crossing
+#: 1e-3 means the solver left its assumptions (e.g. negative samples).
+_AUDIT_WARN_TOL = 1e-3

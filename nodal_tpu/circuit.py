@@ -247,10 +247,18 @@ class Solution:
     ``result[kcl:]`` are branch currents of anomalous components indexed by
     ``anomnum``.  ``stats`` carries solver observability (method, residual,
     iteration count, wall time) — SURVEY.md §5.5.
+
+    The third positional argument matches the reference constructor
+    ``Solution(e, netlist, currents)`` (reference nodal.py:414-420), where
+    ``currents`` is the list collected during stamping.  The reference
+    stores it write-only (its ``__str__`` reads ``anomnum`` instead —
+    SURVEY.md §2.4 Q6); it is kept here purely so code constructing
+    Solutions directly ports unchanged.
     """
 
     result: np.ndarray
     netlist: Netlist
+    currents: list | None = None
     stats: dict | None = None
 
     def __post_init__(self):

@@ -121,22 +121,48 @@ def _equivalent_resistance_stamps_impl(stamps, row_a, row_b, dtype, tol,
             f"CG did not converge (residual {float(info.residual):.2e})"
         )
     if refine_f64:
-        from nodal_tpu.ops.sparse import _topology, coo_matvec, sparse_values
-
-        topo = _topology(stamps)
-        vals64 = sparse_values(topo, stamps,
-                               jnp.asarray(stamps.params, jnp.float64))
-        x = x.astype(jnp.float64)
-        for _ in range(2):
-            r = rhs.astype(jnp.float64) - coo_matvec(topo, vals64, x)
-            dx, _ = solve_sparse_system(
-                stamps, stamps.params, dtype=jnp.float32, tol=solve_tol,
-                rhs=r.astype(jnp.float32),
-            )
-            x = x + dx.astype(jnp.float64)
+        x = _refine_f64(stamps, rhs, x, solve_tol)
     ea = float(x[row_a]) if row_a >= 0 else 0.0
     eb = float(x[row_b]) if row_b >= 0 else 0.0
     return ea - eb
+
+
+def _refine_f64(stamps, rhs, x, solve_tol: float, passes: int = 2):
+    """Iterative refinement: f32 correction solves against f64 residuals.
+
+    Verified refinement: a correction solve that reports non-convergence is
+    discarded (a stalled Krylov correction adds noise, not accuracy), and
+    the *final* f64 residual is re-checked after the fixed number of passes
+    — without that gate a silently stalled refinement would return as if it
+    had converged (round-1 review finding, VERDICT.md "What's weak" #4).
+    """
+    import jax.numpy as jnp
+
+    from nodal_tpu.ops.sparse import (_topology, coo_matvec, sparse_values,
+                                      solve_sparse_system)
+
+    topo = _topology(stamps)
+    vals64 = sparse_values(topo, stamps,
+                           jnp.asarray(stamps.params, jnp.float64))
+    rhs64 = jnp.asarray(rhs, jnp.float64)
+    x = jnp.asarray(x, jnp.float64)
+    for _ in range(passes):
+        r = rhs64 - coo_matvec(topo, vals64, x)
+        dx, dinfo = solve_sparse_system(
+            stamps, stamps.params, dtype=jnp.float32, tol=solve_tol,
+            rhs=r.astype(jnp.float32),
+        )
+        if not bool(dinfo.converged):
+            break
+        x = x + dx.astype(jnp.float64)
+    r = rhs64 - coo_matvec(topo, vals64, x)
+    rel = float(jnp.max(jnp.abs(r))) / max(float(jnp.max(jnp.abs(rhs64))), 1.0)
+    if not (rel <= solve_tol):
+        raise RuntimeError(
+            f"f64 refinement stalled (final residual {rel:.2e} > "
+            f"{solve_tol:.0e})"
+        )
+    return x
 
 
 def _potential_difference(solution, probed, a, b):
