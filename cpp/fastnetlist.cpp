@@ -14,10 +14,12 @@
 // Exposed through a C ABI consumed by ctypes (nodal_tpu/utils/native.py).
 
 #include <cctype>
+#include <charconv>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -79,6 +81,7 @@ struct Result {
   std::vector<Comp> comps;
   std::vector<std::string> node_names;   // interning order
   StringMap<int32_t> node_lookup;
+  StringMap<int32_t> comp_lookup;
   std::vector<int32_t> degrees;
   int32_t ground = -1;
   std::vector<int32_t> nodenum;          // node id -> row index or -1 (ground)
@@ -99,16 +102,57 @@ struct Field {
 };
 
 // Split one CSV line; skipinitialspace semantics (strip blanks after the
-// delimiter, matching csv.reader(..., skipinitialspace=True)).
-static void split_line(const char* b, const char* e, std::vector<Field>& out) {
+// delimiter) plus RFC-4180 quoting, matching csv.reader(...,
+// skipinitialspace=True): a field starting with '"' runs to the closing
+// quote (commas inside are literal), '""' inside escapes one quote, and
+// text after the closing quote is appended verbatim.  Unquoted fields are
+// zero-copy views into the source buffer; quoted fields are unescaped into
+// `scratch` (a deque so earlier Field pointers stay valid).  Multi-line
+// quoted fields (embedded newlines) are not supported: the closing quote
+// must be on the same line, else `err` is set so callers can fail loudly
+// instead of mis-parsing (round-1 advisor finding: the old splitter kept
+// quotes as literal bytes, silently changing the topology of
+// reference-valid quoted netlists).
+static void split_line(const char* b, const char* e, std::vector<Field>& out,
+                       std::deque<std::string>& scratch, std::string* err) {
   out.clear();
   const char* p = b;
+  bool any_quoted = false;
   while (p <= e) {
     while (p < e && (*p == ' ' || *p == '\t')) ++p;
-    const char* start = p;
-    while (p < e && *p != ',') ++p;
-    const char* stop = p;
-    out.push_back({start, static_cast<size_t>(stop - start)});
+    if (p < e && *p == '"') {  // quoted field
+      any_quoted = true;
+      ++p;
+      std::string s;
+      bool closed = false;
+      while (p < e) {
+        if (*p == '"') {
+          if (p + 1 < e && p[1] == '"') {
+            s += '"';
+            p += 2;
+          } else {
+            ++p;
+            closed = true;
+            break;
+          }
+        } else {
+          s += *p++;
+        }
+      }
+      if (!closed) {
+        if (err && err->empty())
+          *err = "Unterminated quoted field (multi-line quoted fields are "
+                 "not supported by the native parser)";
+        return;
+      }
+      while (p < e && *p != ',') s += *p++;  // text after closing quote
+      scratch.push_back(std::move(s));
+      out.push_back({scratch.back().data(), scratch.back().size()});
+    } else {
+      const char* start = p;
+      while (p < e && *p != ',') ++p;
+      out.push_back({start, static_cast<size_t>(p - start)});
+    }
     if (p >= e) break;
     ++p;  // skip comma
     if (p == e) {  // trailing comma -> empty field
@@ -116,22 +160,46 @@ static void split_line(const char* b, const char* e, std::vector<Field>& out) {
       break;
     }
   }
-  if (out.size() == 1 && out[0].len == 0) out.clear();  // blank line
+  // Blank line (but '""' is a quoted empty field, not a blank line — the
+  // Python front-end errors on it, so the native path must too).
+  if (out.size() == 1 && out[0].len == 0 && !any_quoted) out.clear();
 }
+
+// Quirk bits for fn_parse (must match nodal_tpu.models.stamps.Quirks).
+enum QuirkFlags : int32_t { QUIRK_VCCS_AS_VCVS = 1 };
 
 struct Builder {
   Result res;
   StringMap<int32_t> node_id;
   StringMap<int32_t> comp_id;
   std::vector<std::vector<std::string>> opmodel_rows;
+  int32_t quirks = 0;
+  // The Python front-end registers only *terminal* (anode/bnode) nodes in
+  // its degree table (netlist.py:255-256), so node row numbering follows
+  // first-*terminal*-appearance order and a node used only as a control
+  // reference is an error (KeyError), not a silent floating unknown.
+  // Track terminal-ness separately from interning (round-1 advisor
+  // finding: interning control nodes into the numbering permuted G vs the
+  // Python lowering and accepted dangling control nodes).
+  std::vector<char> is_terminal;         // parallel to node_names
+  std::vector<int32_t> terminal_order;   // first-terminal-appearance order
 
-  int32_t intern_node(std::string_view label) {
+  int32_t intern_node(std::string_view label, bool terminal) {
     auto it = node_id.find(label);
-    if (it != node_id.end()) return it->second;
-    int32_t id = static_cast<int32_t>(res.node_names.size());
-    node_id.emplace(std::string(label), id);
-    res.node_names.push_back(std::string(label));
-    res.degrees.push_back(0);
+    int32_t id;
+    if (it != node_id.end()) {
+      id = it->second;
+    } else {
+      id = static_cast<int32_t>(res.node_names.size());
+      node_id.emplace(std::string(label), id);
+      res.node_names.push_back(std::string(label));
+      res.degrees.push_back(0);
+      is_terminal.push_back(0);
+    }
+    if (terminal && !is_terminal[id]) {
+      is_terminal[id] = 1;
+      terminal_order.push_back(id);
+    }
     return id;
   }
 
@@ -154,15 +222,20 @@ struct Builder {
   }
 
   static bool parse_double(const Field& f, double* out) {
-    if (f.len == 0) return false;
-    // The field points into the (NUL-terminated) source buffer; strtod
-    // stops at the delimiter, so no per-field copy is needed.
-    char* end = nullptr;
-    *out = std::strtod(f.p, &end);
-    // Accept trailing blanks, matching Python's float() ("1.0 ," parses).
+    // std::from_chars: locale-independent and ~3x faster than strtod on
+    // the 1M-component parse path; also rejects hex floats ("0x1p3"),
+    // which Python's float() rejects too (strtod accepted them).
+    const char* p = f.p;
     const char* stop = f.p + f.len;
+    // Python's float() accepts a leading '+' and surrounding blanks.
+    while (p < stop && (*p == ' ' || *p == '\t')) ++p;
+    if (p < stop && *p == '+' && p + 1 < stop && p[1] != '+' && p[1] != '-')
+      ++p;
+    auto r = std::from_chars(p, stop, *out);
+    if (r.ec != std::errc()) return false;
+    const char* end = r.ptr;
     while (end < stop && (*end == ' ' || *end == '\t')) ++end;
-    return end == stop && end != f.p;
+    return end == stop;
   }
 
   static int32_t type_of(const Field& f) {
@@ -224,11 +297,13 @@ struct Builder {
     if (!parse_double(f[2], &c.value))
       return fail("Bad input: expected a number for component value of " +
                   name);
-    c.anode = intern_node(std::string_view(f[3].p, f[3].len));
-    c.bnode = intern_node(std::string_view(f[4].p, f[4].len));
+    c.anode = intern_node(std::string_view(f[3].p, f[3].len), true);
+    c.bnode = intern_node(std::string_view(f[4].p, f[4].len), true);
     if (arity >= 7) {
-      c.cnode = intern_node(std::string_view(f[5].p, f[5].len));
-      c.dnode = intern_node(std::string_view(f[6].p, f[6].len));
+      // Control references do NOT make a node part of the circuit graph
+      // (no degree, no row) — matching the Python front-end.
+      c.cnode = intern_node(std::string_view(f[5].p, f[5].len), false);
+      c.dnode = intern_node(std::string_view(f[6].p, f[6].len), false);
     }
     if (arity == 8) c.driver_name = f[7].str();
     if (comp_id.count(name))
@@ -255,23 +330,25 @@ struct Builder {
       if (!process_string_row(row)) return false;
     if (res.comps.empty()) return fail("Empty netlist: no components found");
 
-    // Ground: explicit "g" wins, else max degree, first-appearance ties.
+    // Ground: explicit "g" wins iff it is a terminal node (the Python
+    // front-end checks the degree table, which holds terminals only),
+    // else max degree with first-*terminal*-appearance tie-break.
     auto git = node_id.find(std::string_view("g"));
-    if (git != node_id.end()) {
+    if (git != node_id.end() && is_terminal[git->second]) {
       res.ground = git->second;
     } else {
-      int32_t best = 0;
-      for (size_t i = 1; i < res.degrees.size(); ++i)
-        if (res.degrees[i] > res.degrees[best])
-          best = static_cast<int32_t>(i);
+      int32_t best = terminal_order[0];
+      for (int32_t id : terminal_order)
+        if (res.degrees[id] > res.degrees[best]) best = id;
       res.ground = best;
     }
 
+    // Row numbering follows first-terminal-appearance order (matches the
+    // Python degrees-dict insertion order); control-only nodes get no row.
     res.nodenum.assign(res.node_names.size(), -1);
     int32_t k = 0;
-    for (size_t i = 0; i < res.node_names.size(); ++i)
-      if (static_cast<int32_t>(i) != res.ground)
-        res.nodenum[i] = k++;
+    for (int32_t id : terminal_order)
+      if (id != res.ground) res.nodenum[id] = k++;
     res.n_kcl = k;
 
     res.anom_of_comp.assign(res.comps.size(), -1);
@@ -320,6 +397,15 @@ struct Builder {
     G(N(c.bnode), br, 1.0);
   }
 
+  // Control nodes of voltage-controlled sources must exist in the circuit
+  // graph (appear as a terminal somewhere); the Python lowering raises
+  // KeyError from its nodenum lookup (models/stamps.py node()).
+  bool require_terminal(int32_t node, const std::string& cname) {
+    if (is_terminal[node]) return true;
+    return fail("Node `" + res.node_names[node] + "` (control node of " +
+                cname + ") not found in netlist");
+  }
+
   bool check_control(const Comp& c, const Comp& d, bool* aligned) {
     if (c.cnode == d.anode && c.dnode == d.bnode) {
       *aligned = true;
@@ -362,6 +448,9 @@ struct Builder {
           break;
         }
         case T_VCVS: {
+          if (!require_terminal(c.cnode, c.name) ||
+              !require_terminal(c.dnode, c.name))
+            return false;
           int32_t br = BR(i);
           couple(c, br);
           G(br, N(c.cnode), -1.0, s, 1);
@@ -369,10 +458,19 @@ struct Builder {
           break;
         }
         case T_VCCS: {
+          if (!require_terminal(c.cnode, c.name) ||
+              !require_terminal(c.dnode, c.name))
+            return false;
           int32_t br = BR(i);
-          G(N(c.anode), br, -1.0);
-          G(N(c.bnode), br, 1.0);
-          G(br, br, 1.0);
+          if (quirks & QUIRK_VCCS_AS_VCVS) {
+            // Reference bit-compat (quirk Q1, reference nodal.py:377-378):
+            // the upstream dispatcher stamps VCCS rows as VCVS.
+            couple(c, br);
+          } else {
+            G(N(c.anode), br, -1.0);
+            G(N(c.bnode), br, 1.0);
+            G(br, br, 1.0);
+          }
           G(br, N(c.cnode), -1.0, s, 1);
           G(br, N(c.dnode), 1.0, s, 1);
           break;
@@ -411,14 +509,16 @@ struct Builder {
   }
 };
 
-Result* parse_impl(const char* text, int64_t len) {
+Result* parse_impl(const char* text, int64_t len, int32_t quirks) {
   auto* out = new Result();
   Builder b;
   b.res.error.clear();
+  b.quirks = quirks;
   b.reserve_hint(len);
   const char* p = text;
   const char* end = text + len;
   std::vector<Field> fields;
+  std::deque<std::string> scratch;
   bool ok = true;
   while (ok && p < end) {
     const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
@@ -426,12 +526,14 @@ Result* parse_impl(const char* text, int64_t len) {
     // Trim trailing \r.
     const char* le = line_end;
     if (le > p && le[-1] == '\r') --le;
-    split_line(p, le, fields);
-    ok = b.process_row(fields);
+    if (!scratch.empty()) scratch.clear();
+    split_line(p, le, fields, scratch, &b.res.error);
+    ok = b.res.error.empty() && b.process_row(fields);
     p = nl ? nl + 1 : end;
   }
   if (ok) ok = b.finalize();
   b.res.node_lookup = std::move(b.node_id);
+  b.res.comp_lookup = std::move(b.comp_id);
   *out = std::move(b.res);
   return out;
 }
@@ -440,7 +542,9 @@ Result* parse_impl(const char* text, int64_t len) {
 
 extern "C" {
 
-void* fn_parse(const char* text, int64_t len) { return parse_impl(text, len); }
+void* fn_parse(const char* text, int64_t len, int32_t quirks) {
+  return parse_impl(text, len, quirks);
+}
 
 const char* fn_error(void* h) {
   auto* r = static_cast<Result*>(h);
@@ -518,6 +622,15 @@ int64_t fn_node_id(void* h, const char* name) {
   auto* r = static_cast<Result*>(h);
   auto it = r->node_lookup.find(std::string_view(name));
   return it == r->node_lookup.end() ? -1 : it->second;
+}
+
+// Component name -> index (= its parameter slot, netlist order).  Backs
+// the lazy param_slot mapping so native-parsed stamps compose with
+// BatchedSolver.params_with / monte_carlo without building Python dicts.
+int64_t fn_comp_id(void* h, const char* name) {
+  auto* r = static_cast<Result*>(h);
+  auto it = r->comp_lookup.find(std::string_view(name));
+  return it == r->comp_lookup.end() ? -1 : it->second;
 }
 
 void fn_free(void* h) { delete static_cast<Result*>(h); }

@@ -34,6 +34,16 @@ from nodal_tpu.ops import dense_solve
 _AUDIT_CHUNK_BYTES = 512 << 20
 
 
+def _stamps_of(circuit_or_stamps) -> StampTensors:
+    """Accept a Circuit or bare StampTensors (native-parser output)."""
+    stamps = getattr(circuit_or_stamps, "stamps", circuit_or_stamps)
+    if not isinstance(stamps, StampTensors):
+        raise TypeError(
+            f"expected Circuit or StampTensors, got {type(circuit_or_stamps)}"
+        )
+    return stamps
+
+
 def _refined_tridiag_solver(stamps, dtype, iters: int = 2):
     """Band-space mixed precision: f32 PCR solves, f64 band residuals."""
     from nodal_tpu.ops.assemble import assemble_tridiag
@@ -69,7 +79,9 @@ class BatchedSolver:
       sources put zeros on the diagonal): XLA's pivoted LU.
 
     Args:
-        circuit: the compiled circuit (topology + default params).
+        circuit: the compiled circuit (topology + default params), or bare
+            :class:`StampTensors` (e.g. from the native parser,
+            nodal_tpu.utils.native.parse_stamps).
         dtype: batch numerics; default float32 — the TPU fast path.
         refine: add f64-residual iterative refinement (f64-level accuracy
             at f32 speed for well-conditioned systems).
@@ -78,7 +90,7 @@ class BatchedSolver:
 
     def __init__(
         self,
-        circuit: Circuit,
+        circuit: Circuit | StampTensors,
         *,
         dtype=jnp.float32,
         refine: bool = False,
@@ -87,7 +99,7 @@ class BatchedSolver:
         from nodal_tpu.ops.assemble import assemble_tridiag, bandwidth
         from nodal_tpu.ops import block_lu, tridiag
 
-        self.stamps: StampTensors = circuit.stamps
+        self.stamps: StampTensors = _stamps_of(circuit)
         self.dtype = dtype
         self.refine = refine
 
@@ -328,16 +340,23 @@ def monte_carlo(
     block fast paths assume — a silent-wrong-answer regime the audit turns
     into a logged warning.  Pass ``audit=False`` to skip the extra matvec
     pass (and call ``residuals()`` yourself on ``solutions``).
+
+    ``circuit`` may also be bare :class:`StampTensors` from the native
+    parser — its lazy param_slot resolves the tolerance names in C++.
     """
-    solver = circuit.batched_solver(dtype=dtype, refine=refine)
+    stamps = _stamps_of(circuit)
+    if hasattr(circuit, "batched_solver"):
+        solver = circuit.batched_solver(dtype=dtype, refine=refine)
+    else:
+        solver = BatchedSolver(circuit, dtype=dtype, refine=refine)
     sample_dtype = jnp.dtype(dtype)  # draws match the requested precision
     names = list(tolerances)
     slots = jnp.asarray(
-        np.array([circuit.stamps.param_slot[m] for m in names])
+        np.array([stamps.param_slot[m] for m in names])
     )
     sigmas = jnp.asarray(np.array([tolerances[m] for m in names]),
                          dtype=sample_dtype)
-    base = jnp.asarray(circuit.stamps.params, dtype=sample_dtype)
+    base = jnp.asarray(stamps.params, dtype=sample_dtype)
 
     # The fused runner is cached on the solver (slots/sigmas are traced
     # arguments), so repeated sweeps with the same sample count reuse the

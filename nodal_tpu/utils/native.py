@@ -51,7 +51,7 @@ def _load():
 
     lib = ctypes.CDLL(so_path)
     lib.fn_parse.restype = ctypes.c_void_p
-    lib.fn_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.fn_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32]
     lib.fn_error.restype = ctypes.c_char_p
     lib.fn_error.argtypes = [ctypes.c_void_p]
     lib.fn_sizes.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
@@ -64,6 +64,8 @@ def _load():
     ]
     lib.fn_node_id.restype = ctypes.c_int64
     lib.fn_node_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.fn_comp_id.restype = ctypes.c_int64
+    lib.fn_comp_id.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.fn_free.argtypes = [ctypes.c_void_p]
     return lib
 
@@ -132,18 +134,60 @@ class NativeSymbols:
             pass
 
 
-def parse_stamps(text: str | bytes) -> tuple[StampTensors, NativeSymbols]:
-    """CSV netlist text -> (StampTensors, NativeSymbols), all native."""
+class NativeSlotMap:
+    """Lazy component-name -> parameter-slot mapping over the parser handle.
+
+    Duck-types the ``dict[str, int]`` surface BatchedSolver.params_with and
+    monte_carlo use (``[]`` / ``in`` / iteration), without materializing a
+    million-entry Python dict for generated netlists.  Iteration fetches
+    names on demand (ordered by slot = netlist order).
+    """
+
+    def __init__(self, symbols: "NativeSymbols"):
+        self._symbols = symbols
+
+    def __getitem__(self, name: str) -> int:
+        idx = self._symbols._lib.fn_comp_id(self._symbols._handle,
+                                            name.encode())
+        if idx < 0:
+            raise KeyError(name)
+        return int(idx)
+
+    def __contains__(self, name: str) -> bool:
+        return self._symbols._lib.fn_comp_id(
+            self._symbols._handle, name.encode()) >= 0
+
+    def __len__(self) -> int:
+        return self._symbols.n_components
+
+    def __iter__(self):
+        for i in range(self._symbols.n_components):
+            yield self._symbols.component_name(i)
+
+    def __bool__(self) -> bool:
+        return self._symbols.n_components > 0
+
+
+def parse_stamps(text: str | bytes, *, quirks=None
+                 ) -> tuple[StampTensors, NativeSymbols]:
+    """CSV netlist text -> (StampTensors, NativeSymbols), all native.
+
+    ``quirks`` mirrors :class:`nodal_tpu.models.stamps.Quirks` — pass
+    ``Quirks(vccs_as_vcvs=True)`` for reference bit-compatibility (Q1).
+    """
     lib = _load()
     data = text.encode() if isinstance(text, str) else text
-    handle = lib.fn_parse(data, len(data))
+    flags = 0
+    if quirks is not None and getattr(quirks, "vccs_as_vcvs", False):
+        flags |= 1  # QUIRK_VCCS_AS_VCVS
+    handle = lib.fn_parse(data, len(data), flags)
     err = lib.fn_error(handle)
     if err:
         msg = err.decode()
         lib.fn_free(handle)
         if "OPAMP" in msg:
             raise NotImplementedError(msg)
-        if "not found" in msg and "Driving" in msg:
+        if "not found" in msg and ("Driving" in msg or "control node" in msg):
             raise KeyError(msg)
         raise ValueError(msg)
 
@@ -183,9 +227,12 @@ def parse_stamps(text: str | bytes) -> tuple[StampTensors, NativeSymbols]:
         rhs_rows=r_rows, rhs_coeff=r_coeff,
         rhs_p1=r_p1, rhs_e1=r_e1, rhs_p2=r_p2, rhs_e2=r_e2,
         params=params,
-        param_slot={},  # filled lazily via symbols.component_name if needed
+        param_slot={},  # replaced with the lazy native map below
     )
     symbols = NativeSymbols(
         lib, handle, list(sizes), nodenum, anom_of_comp, comp_type
     )
+    # Lazy name->slot resolution straight off the C++ symbol table, so
+    # native-parsed stamps compose with params_with/monte_carlo.
+    stamps.param_slot = NativeSlotMap(symbols)
     return stamps, symbols
