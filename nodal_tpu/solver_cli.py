@@ -38,6 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="use the C++ netlist parser + iterative solve for large "
         "netlists (auto: over 256 KiB)",
     )
+    parser.add_argument(
+        "--compat-vccs",
+        action="store_true",
+        help="stamp VCCS with VCVS semantics, bit-matching upstream nodal "
+        "(whose dispatcher routes VCCS to its VCVS stamp); default is "
+        "correct transconductance semantics",
+    )
     return parser
 
 
@@ -48,6 +55,7 @@ def _try_native(args) -> bool:
     """Native fast path: C++ parse -> stamp tensors -> Krylov solve ->
     print.  Returns True if it handled the request."""
     import os
+    import time
 
     if args.native == "off":
         return False
@@ -61,11 +69,18 @@ def _try_native(args) -> bool:
         from nodal_tpu.utils import native
     except ImportError:  # pragma: no cover
         return False
+    quirks = None
+    if args.compat_vccs:
+        from nodal_tpu.models.stamps import Quirks
+
+        quirks = Quirks(vccs_as_vcvs=True)
+    t0 = time.perf_counter()
     try:
         with open(args.netlist_path, "rb") as fh:
-            stamps, symbols = native.parse_stamps(fh.read())
+            stamps, symbols = native.parse_stamps(fh.read(), quirks=quirks)
     except native.NativeUnavailable:
         return False
+    t1 = time.perf_counter()
 
     import numpy as np
 
@@ -79,6 +94,7 @@ def _try_native(args) -> bool:
         # Python path, whose Circuit.solve has the dense rescue and the
         # uniform singularity diagnosis.
         return False
+    t2 = time.perf_counter()
 
     lines = [f"Ground node: {symbols.ground}"]
     for name, row in sorted(symbols.node_rows()):
@@ -86,6 +102,13 @@ def _try_native(args) -> bool:
     for name, row in sorted(symbols.anomalous_rows()):
         lines.append(f"i({name}) \t= {x[row]}")
     print("\n".join(lines))
+    if args.stats:
+        print(
+            f"parse: {t1 - t0:.4f}s  compile+solve: {t2 - t1:.4f}s  "
+            f"method: native+krylov  residual: {float(info.residual):.2e}  "
+            f"iterations: {int(info.iterations)}",
+            file=sys.stderr,
+        )
     return True
 
 
@@ -111,7 +134,12 @@ def main(argv=None) -> None:
         sys.exit(1)
     t1 = time.perf_counter()
 
-    circuit = Circuit(netlist, sparse=args.sparse)
+    quirks = None
+    if args.compat_vccs:
+        from nodal_tpu.models.stamps import Quirks
+
+        quirks = Quirks(vccs_as_vcvs=True)
+    circuit = Circuit(netlist, sparse=args.sparse, quirks=quirks)
     try:
         solution = circuit.solve()
     except UnconnectedCircuitError:

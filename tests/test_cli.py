@@ -36,6 +36,73 @@ def test_solver_cli_unconnected_exit_1(tmp_netlist):
     assert exc.value.code == 1
 
 
+_VCCS_WHERE_IT_MATTERS = "e1,E,1,1,g\nr1,R,2,2,g\nd,VCCS,3,2,g,1,g\n"
+
+
+def _parse_cli_output(out: str) -> dict:
+    vals = {}
+    for line in out.strip().splitlines()[1:]:
+        key, val = line.split(" \t= ")
+        vals[key] = float(val)
+    return vals
+
+
+def test_solver_cli_compat_vccs_flag(tmp_netlist, capsys):
+    # Quirk Q1: upstream stamps VCCS rows as VCVS (reference
+    # nodal.py:377-378) giving e(2)=3.0 here; correct transconductance
+    # semantics give e(2)=6.0.  The flag restores upstream behavior.
+    path = tmp_netlist(_VCCS_WHERE_IT_MATTERS)
+    solver_cli.main([path])
+    correct = _parse_cli_output(capsys.readouterr().out)
+    np.testing.assert_allclose(correct["e(2)"], 6.0, rtol=1e-9)
+
+    solver_cli.main(["--compat-vccs", path])
+    compat = _parse_cli_output(capsys.readouterr().out)
+    np.testing.assert_allclose(compat["e(2)"], 3.0, rtol=1e-9)
+
+
+def test_solver_cli_compat_vccs_matches_reference(tmp_netlist, capsys):
+    import os
+    import sys as _sys
+
+    if not os.path.isdir("/root/reference/nodal"):
+        pytest.skip("reference implementation not mounted")
+    path = tmp_netlist(_VCCS_WHERE_IT_MATTERS)
+    _sys.path.insert(0, "/root/reference")
+    try:
+        import nodal as ref
+
+        ref_out = str(ref.Circuit(ref.Netlist(path)).solve())
+    finally:
+        _sys.path.remove("/root/reference")
+
+    solver_cli.main(["--compat-vccs", path])
+    ours = _parse_cli_output(capsys.readouterr().out)
+    theirs = _parse_cli_output(ref_out)
+    assert set(ours) == set(theirs)
+    for key in theirs:
+        np.testing.assert_allclose(ours[key], theirs[key], rtol=1e-9,
+                                   atol=1e-12)
+
+
+def test_solver_cli_native_stats(tmp_netlist, capsys):
+    pytest.importorskip("nodal_tpu.utils.native")
+    from nodal_tpu.utils import native
+
+    try:
+        native._load()
+    except native.NativeUnavailable:
+        pytest.skip("no native build")
+    from nodal_tpu.utils.gridgen import grid_csv
+
+    path = tmp_netlist(grid_csv(8, 8, (0, 0), (7, 7)), "grid.csv")
+    solver_cli.main(["--native", "on", "--stats", path])
+    captured = capsys.readouterr()
+    assert "method: native+krylov" in captured.err
+    assert "iterations:" in captured.err
+    assert captured.out.startswith("Ground node:")
+
+
 def test_resistance_cli(tmp_netlist, capsys):
     equiv_cli.main([tmp_netlist(fx.RESISTIVE_1)])
     out = capsys.readouterr().out

@@ -133,6 +133,56 @@ def test_refine_f64_raises_on_stalled_correction(monkeypatch):
         equiv._refine_f64(stamps, rhs, x0, solve_tol=1e-6)
 
 
+# -- shipped example corpus (VERDICT #9) --------------------------------------
+
+_EXAMPLES = "examples"
+
+
+def _example(name):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", _EXAMPLES, name)
+    assert os.path.exists(path), f"missing shipped example {name}"
+    return path
+
+
+@pytest.mark.parametrize("name,node,expected", [
+    ("netlist.csv", "2", -1.0),
+    ("1.6.1.csv", "2", -1.0),
+    ("buffer.csv", "2", 9.999900000899993),
+    ("opmodel_amplifier.csv", "2", 1.9997600287845492),
+    ("opmodel_voltage_buffer.csv", "2", 0.999990000099999),
+    ("test_1.csv", "6", 1.0),
+    ("divider.csv", "2", -1.0),
+    ("all_components.csv", "6", 1.0),
+    ("opamp_amplifier.csv", "2", 1.9997600287845492),
+    ("unconnected_0.csv", "2", 6.0),
+])
+def test_shipped_solver_examples(name, node, expected):
+    solution = Circuit(Netlist(_example(name))).solve()
+    np.testing.assert_allclose(solution.potential(node), expected, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name,expected", [
+    ("resistive_1.csv", 2.0),
+    ("resistive_2.csv", 1.0),
+    ("resistive_3.csv", 1.0),
+])
+def test_shipped_resistance_examples(name, expected):
+    from nodal_tpu.equiv import equivalent_resistance
+
+    r = equivalent_resistance(Netlist(_example(name)), "1", "g")
+    np.testing.assert_allclose(r, expected, rtol=1e-9)
+
+
+def test_shipped_unconnected_example_exits_1():
+    from nodal_tpu import solver_cli
+
+    with pytest.raises(SystemExit) as exc:
+        solver_cli.main([_example("unconnected_1.csv")])
+    assert exc.value.code == 1
+
+
 def test_solution_reference_constructor_shape(tmp_netlist):
     # Reference code constructs Solution(e, netlist, currents) positionally
     # (reference nodal.py:414-420); the third slot must accept that.
