@@ -88,6 +88,10 @@ def _try_native(args) -> float | None:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
+    from nodal_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if args.dtype == "f64":
         import nodal_tpu
 

@@ -118,36 +118,65 @@ def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None,
     params = jnp.asarray(params, dtype=dtype)
     if tol is None:
         tol = 1e-10 if params.dtype == jnp.float64 else 1e-6
-    vals = sparse_values(topo, stamps, params)
-    if rhs is None:
-        _, rhs_vals = stamp_values(stamps, params)
-        b = jnp.zeros(stamps.n, dtype=params.dtype).at[stamps.rhs_rows].add(
-            rhs_vals
-        )
-    else:
-        b = jnp.asarray(rhs, dtype=params.dtype)
-
-    def matvec(x):
-        return coo_matvec(topo, vals, x)
 
     spd = stamps.n == stamps.n_kcl  # no branch equations -> grounded Laplacian
     if preconditioner == "auto":
         preconditioner = (
             "amg" if spd and stamps.n >= _AMG_THRESHOLD_N else "jacobi"
         )
+
     if preconditioner == "amg":
         if not spd:
             raise ValueError("AMG preconditioning requires an SPD system")
         from nodal_tpu.models.stamps import stamp_values_np
         from nodal_tpu.ops.amg import build_hierarchy, make_amg_preconditioner
 
+        vals = sparse_values(topo, stamps, params)
+        if rhs is None:
+            _, rhs_vals = stamp_values(stamps, params)
+            b = jnp.zeros(stamps.n, dtype=params.dtype).at[
+                stamps.rhs_rows].add(rhs_vals)
+        else:
+            b = jnp.asarray(rhs, dtype=params.dtype)
         g_np, _ = stamp_values_np(stamps, np.asarray(params, np.float64))
         merged = np.zeros(len(topo.rows))
         np.add.at(merged, topo.entry_to_slot, g_np)
         levels = build_hierarchy(stamps.n, topo.rows, topo.cols, merged)
         M = make_amg_preconditioner(levels, params.dtype)
-    else:
-        M = jacobi_preconditioner(topo, vals)
-    solver = cg if spd else bicgstab
-    x, info = solver(matvec, b, preconditioner=M, tol=tol, maxiter=20 * stamps.n)
+        x, info = cg(lambda x: coo_matvec(topo, vals, x), b,
+                     preconditioner=M, tol=tol, maxiter=20 * stamps.n)
+        return x, info
+
+    # Jacobi path: the whole solve — value fold, RHS assembly, CG/BiCGStab
+    # loop — is ONE jitted program, cached per (dtype, tol, spd, rhs?) on
+    # the stamps object.  Eager dispatch here costs dozens of per-op round
+    # trips on a remote accelerator (see Circuit._solve_dense).
+    key = (str(jnp.dtype(params.dtype)), float(tol), spd, rhs is not None)
+    fns = getattr(stamps, "_krylov_fns", None)
+    if fns is None:
+        fns = stamps._krylov_fns = {}  # type: ignore[attr-defined]
+    fn = fns.get(key)
+    if fn is None:
+        solver = cg if spd else bicgstab
+        maxiter = 20 * stamps.n
+        with_rhs = rhs is not None
+
+        def f(params, rhs):
+            vals = sparse_values(topo, stamps, params)
+            if with_rhs:
+                b = rhs
+            else:
+                _, rhs_vals = stamp_values(stamps, params)
+                b = jnp.zeros(stamps.n, dtype=params.dtype).at[
+                    stamps.rhs_rows].add(rhs_vals)
+            M = jacobi_preconditioner(topo, vals)
+            return solver(lambda x: coo_matvec(topo, vals, x), b,
+                          preconditioner=M, tol=tol, maxiter=maxiter)
+
+        fn = jax.jit(f)
+        fns[key] = fn
+
+    b_arg = (jnp.asarray(rhs, dtype=params.dtype) if rhs is not None
+             else jnp.zeros((), dtype=params.dtype))
+    x, info = fn(params, b_arg)
     return x, info
