@@ -1,0 +1,109 @@
+"""Mosaic-compiled smoke tier (`pytest -m tpu`, VERDICT #5 / ADVICE #4).
+
+The main suite pins JAX_PLATFORMS=cpu, so every Pallas kernel is only
+*interpret*-tested there — Mosaic-specific constraints (8-row DMA
+alignment, x32 BlockSpecs, VMEM budgets, double-buffering limits) are
+unverified by it and historically only surfaced in the driver bench.  This
+module compiles and runs the hot kernels on real hardware:
+
+    NODAL_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_smoke.py -m tpu
+
+(in environments where the TPU is reached through a differently-named PJRT
+plugin, pass that platform name instead — e.g. NODAL_TPU_TEST_PLATFORM=axon
+for this build's remote-TPU tunnel; the tests key on
+``jax.default_backend() == "tpu"``, which such plugins still report).
+
+Interpret-mode passes do NOT validate Mosaic lowering; a recorded run of
+this tier is the round's evidence that the kernels still compile.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="requires real TPU (NODAL_TPU_TEST_PLATFORM=tpu)",
+    ),
+]
+
+
+def _f32(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+def test_fused_jacobi_mosaic_single_block():
+    from nodal_tpu.ops.grid import laplacian_matvec
+    from nodal_tpu.ops.pallas_stencil import fused_jacobi
+
+    rng = np.random.default_rng(0)
+    x, r = _f32(rng, 256, 256), _f32(rng, 256, 256)
+    got = np.asarray(fused_jacobi(x, r, weight=1.0, omega=0.8, sweeps=3))
+    ref = x
+    for _ in range(3):
+        ref = ref + (0.8 / 4.0) * (r - laplacian_matvec(ref, 1.0))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_fused_jacobi_mosaic_tiled():
+    # 1024 rows -> the gridded/tiled regime (DMA halos across tiles).
+    from nodal_tpu.ops.grid import laplacian_matvec
+    from nodal_tpu.ops.pallas_stencil import fused_jacobi
+
+    rng = np.random.default_rng(1)
+    x, r = _f32(rng, 1024, 256), _f32(rng, 1024, 256)
+    got = np.asarray(fused_jacobi(x, r, weight=1.0, omega=0.8, sweeps=2))
+    ref = x
+    for _ in range(2):
+        ref = ref + (0.8 / 4.0) * (r - laplacian_matvec(ref, 1.0))
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_pcr_solve_mosaic():
+    from nodal_tpu.ops.pallas_tridiag import pcr_solve_padded
+    from nodal_tpu.ops.tridiag import tridiag_matvec
+
+    rng = np.random.default_rng(2)
+    B, n = 64, 1000
+    dl = _f32(rng, B, n) * 0.3
+    du = _f32(rng, B, n) * 0.3
+    dl = dl.at[:, 0].set(0.0)
+    du = du.at[:, -1].set(0.0)
+    d = 2.0 + jnp.abs(_f32(rng, B, n))  # diagonally dominant
+    b = _f32(rng, B, n)
+    x = pcr_solve_padded(dl, d, du, b)
+    r = np.asarray(b - tridiag_matvec(dl, d, du, x))
+    assert np.max(np.abs(r)) / np.max(np.abs(np.asarray(b))) < 1e-4
+
+
+def test_grid_solve_pallas_mega_kernel():
+    # 512x512: the single mega-kernel V-cycle regime of ops/grid.py.
+    from nodal_tpu.ops.grid import grid_equivalent_resistance
+
+    h = w = 512
+    r, info = grid_equivalent_resistance(
+        h, w, (0, 0), (h - 1, w - 1), dtype=jnp.float32, tol=1e-6,
+        mg=True, mg_backend="pallas",
+    )
+    assert bool(info.converged)
+    assert int(info.iterations) < 80
+    assert np.isfinite(float(r)) and float(r) > 0
+
+
+def test_batched_tridiag_solver_end_to_end():
+    # The bench fast path: band assembly + VMEM PCR under one jit.
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.utils.gridgen import ladder_rows
+
+    circuit = Circuit(Netlist.from_rows(ladder_rows(512)))
+    solver = BatchedSolver(circuit, dtype=jnp.float32)
+    assert solver.method == "tridiag"
+    batch = np.tile(circuit.stamps.params, (128, 1))
+    xs = solver(batch)
+    res = np.asarray(solver.residuals(batch, np.asarray(xs)))
+    assert np.max(res) < 1e-4
