@@ -24,7 +24,43 @@ import numpy as np
 BASELINE_SOLVES_PER_SEC = 36.2
 
 
-def bench_batched_solves(n_nodes: int, batch: int, reps: int, method: str = "auto"):
+def _ladder_circuit(n_nodes):
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.utils.gridgen import ladder_rows
+
+    return Circuit(Netlist.from_rows(ladder_rows(n_nodes)))
+
+
+def _mesh_circuit(n_nodes):
+    """General-topology benchmark circuit: a 2D resistor mesh (bandwidth
+    ~min(h,w), NOT a chain) with a current source — exercises the blocked
+    no-pivot LU / Pallas LU path instead of the tridiag PCR fast path."""
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    h = 25
+    w = (n_nodes + h - 1) // h
+    rows = list(grid_rows(h, w, (0, 0), (h - 1, w - 1)))
+    rows.append(["src", "A", "1", "1", "g"])
+    return Circuit(Netlist.from_rows(rows))
+
+
+def _branch_circuit(n_nodes):
+    """Branch-equation benchmark circuit: the same mesh driven by a
+    voltage source plus a VCCS — MNA gains branch rows (zero diagonal),
+    exercising the Schur-complement path."""
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    h = 25
+    w = (n_nodes + h - 1) // h
+    rows = list(grid_rows(h, w, (0, 0), (h - 1, w - 1)))
+    rows.append(["e1", "E", "2", "1", "g"])
+    rows.append(["d1", "VCCS", "0.5", "n3_3", "g", "1", "g"])
+    return Circuit(Netlist.from_rows(rows))
+
+
+def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto"):
     """Throughput of the structure-aware batched solver.
 
     Timing is forced honest: a device-side checksum of every solution batch
@@ -34,11 +70,8 @@ def bench_batched_solves(n_nodes: int, batch: int, reps: int, method: str = "aut
     import jax
     import jax.numpy as jnp
 
-    from nodal_tpu import Circuit, Netlist
     from nodal_tpu.batch import BatchedSolver
-    from nodal_tpu.utils.gridgen import ladder_rows
 
-    circuit = Circuit(Netlist.from_rows(ladder_rows(n_nodes)))
     solver = BatchedSolver(circuit, dtype=jnp.float32, method=method)
 
     rng = np.random.default_rng(0)
@@ -101,8 +134,12 @@ def main(argv=None):
     parser.add_argument("--platform", default=None, help="force jax platform")
     parser.add_argument("--nodes", type=int, default=1000)
     parser.add_argument("--batch", type=int, default=16384)
+    parser.add_argument("--general-batch", type=int, default=1024,
+                        help="batch for the dense-path metrics ([B, n, n] "
+                        "matrices must fit HBM)")
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--method", default="auto")
+    parser.add_argument("--skip-general", action="store_true")
     parser.add_argument("--grid", type=int, default=1024)
     parser.add_argument("--grid-tol", type=float, default=1e-6)
     parser.add_argument("--skip-grid", action="store_true")
@@ -115,11 +152,14 @@ def main(argv=None):
     # x64 on: the accuracy cross-checks need a true f64 reference (the fast
     # paths request f32 explicitly, so this does not slow them down).
     jax.config.update("jax_enable_x64", True)
+    from nodal_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     backend = jax.default_backend()
 
     solves_per_sec, dt, err, method = bench_batched_solves(
-        args.nodes, args.batch, args.reps, args.method
+        _ladder_circuit(args.nodes), args.batch, args.reps, args.method
     )
     extra = {
         "backend": backend,
@@ -128,6 +168,27 @@ def main(argv=None):
         "batched_wall_s": round(dt, 4),
         "batched_rel_err_vs_f64": err,
     }
+    if not args.skip_general:
+        # General (non-chain) topology: the round-1 review's headline gap.
+        gen_sps, gen_dt, gen_err, gen_method = bench_batched_solves(
+            _mesh_circuit(args.nodes), args.general_batch, args.reps
+        )
+        br_sps, br_dt, br_err, br_method = bench_batched_solves(
+            _branch_circuit(args.nodes), args.general_batch, args.reps
+        )
+        extra.update(
+            {
+                "general_solves_per_sec_1000_nodes": round(gen_sps, 2),
+                "general_method": gen_method,
+                "general_batch_size": args.general_batch,
+                "general_rel_err_vs_f64": gen_err,
+                "general_vs_baseline": round(gen_sps / BASELINE_SOLVES_PER_SEC, 2),
+                "branch_solves_per_sec_1000_nodes": round(br_sps, 2),
+                "branch_method": br_method,
+                "branch_rel_err_vs_f64": br_err,
+                "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
+            }
+        )
     if not args.skip_grid:
         r, grid_dt, iters = bench_grid(args.grid, args.grid_tol)
         extra.update(

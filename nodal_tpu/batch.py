@@ -34,6 +34,39 @@ from nodal_tpu.ops import dense_solve
 _AUDIT_CHUNK_BYTES = 512 << 20
 
 
+def _schur_supported(stamps: StampTensors) -> bool:
+    """Host-side probe: is the resistive node block A = G[:nk, :nk] SPD?
+
+    Only resistor stamps land in A (source couplings go to the branch
+    rows/columns — see ops.block_lu.schur_solve), so SPD-ness means every
+    node is resistively tied to ground directly or transitively.  A node
+    held only by voltage sources makes A singular; those circuits take the
+    pivoted dense path.  One f64 numpy Cholesky at the netlist's default
+    parameters, cached on the stamps object.
+    """
+    cached = getattr(stamps, "_schur_ok", None)
+    if cached is not None:
+        return cached
+    nk = stamps.n_kcl
+    ok = False
+    if 0 < nk <= 8192 and stamps.n > nk:
+        from nodal_tpu.models.stamps import stamp_values_np
+
+        mask = (stamps.g_rows < nk) & (stamps.g_cols < nk)
+        g_np, _ = stamp_values_np(stamps, stamps.params)
+        A = np.zeros((nk, nk))
+        np.add.at(A, (stamps.g_rows[mask], stamps.g_cols[mask]), g_np[mask])
+        try:
+            L = np.linalg.cholesky(A)
+            # Margin: a barely-positive pivot means f32 block-LU will blow
+            # up even though f64 Cholesky squeaked through.
+            ok = bool(np.min(np.diag(L)) > 1e-6 * np.max(np.diag(L)))
+        except np.linalg.LinAlgError:
+            ok = False
+    stamps._schur_ok = ok  # type: ignore[attr-defined]
+    return ok
+
+
 def _stamps_of(circuit_or_stamps) -> StampTensors:
     """Accept a Circuit or bare StampTensors (native-parser output)."""
     stamps = getattr(circuit_or_stamps, "stamps", circuit_or_stamps)
@@ -75,8 +108,12 @@ class BatchedSolver:
       work, no dense matrix ever built.
     * ``block``  — general resistive (diagonally dominant) systems: the
       MXU-native no-pivot blocked LU (ops.block_lu).
-    * ``dense``  — anything with branch equations (voltage/controlled
-      sources put zeros on the diagonal): XLA's pivoted LU.
+    * ``schur``  — branch-equation systems whose resistive node block is
+      SPD (checked host-side with a Cholesky probe): block elimination —
+      no-pivot blocked LU on the node block, small pivoted solve on the
+      branch Schur complement (ops.block_lu.schur_solve).
+    * ``dense``  — remaining branch-equation systems (nodes held only by
+      voltage sources make the node block singular): XLA's pivoted LU.
 
     Args:
         circuit: the compiled circuit (topology + default params), or bare
@@ -103,10 +140,10 @@ class BatchedSolver:
         self.dtype = dtype
         self.refine = refine
 
-        if method not in ("auto", "tridiag", "block", "dense"):
+        if method not in ("auto", "tridiag", "block", "schur", "dense"):
             raise ValueError(
                 f"unknown method {method!r}; expected one of "
-                "'auto', 'tridiag', 'block', 'dense'"
+                "'auto', 'tridiag', 'block', 'schur', 'dense'"
             )
         resistive = self.stamps.n == self.stamps.n_kcl  # no branch equations
         if method == "auto":
@@ -114,6 +151,11 @@ class BatchedSolver:
                 method = "tridiag"
             elif resistive:
                 method = "block"
+            elif self.stamps.n_kcl >= 256 and _schur_supported(self.stamps):
+                # Big node block + few branch equations: block elimination
+                # beats XLA's column-sequential pivoted LU by ~an order of
+                # magnitude on the MXU.
+                method = "schur"
             else:
                 method = "dense"
         elif method in ("tridiag", "block") and not resistive:
@@ -121,6 +163,18 @@ class BatchedSolver:
                 f"method={method!r} requires a purely resistive circuit "
                 "(branch equations put zeros on the diagonal)"
             )
+        elif method == "schur":
+            if resistive:
+                raise ValueError(
+                    "method='schur' requires branch equations (use 'block' "
+                    "for purely resistive circuits)"
+                )
+            if not _schur_supported(self.stamps):
+                raise ValueError(
+                    "method='schur' requires an SPD resistive node block "
+                    "(every node resistively connected, ground included); "
+                    "the Cholesky probe failed — use 'dense'"
+                )
         elif method == "tridiag" and bandwidth(self.stamps) > 1:
             # Band assembly silently drops out-of-band entries; forcing the
             # method on a wider matrix would return wrong answers.
@@ -162,7 +216,41 @@ class BatchedSolver:
                 G, b = jax.vmap(single)(params_batch)
                 if refine:
                     return block_lu.blocked_solve_refined(G, b)
+                from nodal_tpu.ops.pallas_block_lu import (lu_fits_vmem,
+                                                           pallas_lu_solve)
+
+                # VMEM-resident mega-kernel: reads G once, writes x only
+                # (the XLA path round-trips every Schur complement through
+                # HBM).  f32 only; refinement against G is built in.
+                if (jax.default_backend() == "tpu"
+                        and jnp.dtype(dtype) == jnp.float32
+                        and lu_fits_vmem(self.stamps.n)):
+                    return pallas_lu_solve(G, b)
                 return block_lu.blocked_solve(G, b)
+
+        elif method == "schur":
+            nk = self.stamps.n_kcl
+
+            def single(params):
+                return assemble_dense(self.stamps, params, dtype=dtype)
+
+            def solve_batch(params_batch):
+                G, b = jax.vmap(single)(params_batch)
+                x = block_lu.schur_solve(G, b, nk)
+                if refine:
+                    # f64-residual refinement against the full system; two
+                    # extra Schur solves are O(n²) next to the factor.
+                    G64 = G.astype(jnp.float64)
+                    b64 = b.astype(jnp.float64)
+                    x = x.astype(jnp.float64)
+                    for _ in range(2):
+                        r = b64 - jnp.einsum(
+                            "bij,bj->bi", G64, x,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                        dx = block_lu.schur_solve(G, r.astype(dtype), nk)
+                        x = x + dx.astype(jnp.float64)
+                return x
 
         else:
 

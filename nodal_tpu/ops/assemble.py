@@ -51,16 +51,44 @@ def bandwidth(stamps: StampTensors) -> int:
     return int(np.max(np.abs(stamps.g_rows.astype(np.int64) - stamps.g_cols)))
 
 
-def _band_entry_indices(stamps: StampTensors):
-    """Host-side: stamp-entry index lists per diagonal offset (-1, 0, +1),
-    cached on the stamps object."""
-    cached = getattr(stamps, "_band_indices", None)
+def _gather_plan(rows: np.ndarray, entry_idx: np.ndarray, n: int):
+    """Turn a scatter (``out[rows[e]] += vals[entry_idx[e]]``) into a dense
+    gather: per-row padded entry-index matrix [n, K] + 0/1 mask.
+
+    K is the max entries landing on one row (2 for ladder diagonals), so
+    the assembly becomes ``(vals[idx] * mask).sum(-1)`` — pure gathers the
+    TPU executes at memory speed, instead of a scatter-add (measured: the
+    scatter formulation was ~13 ms of the 45 ms batched tridiag wall at
+    B=16384, n=1000)."""
+    order = np.argsort(rows, kind="stable")
+    rows_sorted = rows[order]
+    entries_sorted = entry_idx[order]
+    counts = np.bincount(rows_sorted, minlength=n)
+    K = int(counts.max()) if len(counts) else 1
+    idx = np.zeros((n, K), dtype=np.int32)
+    mask = np.zeros((n, K), dtype=np.float64)
+    slot = np.zeros(n, dtype=np.int64)
+    for r, e in zip(rows_sorted, entries_sorted):
+        idx[r, slot[r]] = e
+        mask[r, slot[r]] = 1.0
+        slot[r] += 1
+    return idx, mask
+
+
+def _band_gather_plans(stamps: StampTensors):
+    """Host-side: per-band and RHS gather plans, cached on the stamps."""
+    cached = getattr(stamps, "_band_gather", None)
     if cached is None:
         off = stamps.g_rows.astype(np.int64) - stamps.g_cols
-        cached = {
-            o: np.nonzero(off == o)[0].astype(np.int32) for o in (-1, 0, 1)
-        }
-        stamps._band_indices = cached  # type: ignore[attr-defined]
+        n = stamps.n
+        plans = {}
+        for o in (-1, 0, 1):
+            e = np.nonzero(off == o)[0].astype(np.int32)
+            plans[o] = _gather_plan(stamps.g_rows[e], e, n)
+        plans["rhs"] = _gather_plan(
+            stamps.rhs_rows, np.arange(len(stamps.rhs_rows), dtype=np.int32), n
+        )
+        stamps._band_gather = cached = plans  # type: ignore[attr-defined]
     return cached
 
 
@@ -68,20 +96,20 @@ def assemble_tridiag(stamps: StampTensors, params, dtype=None):
     """Assemble the three bands + RHS directly (no dense G at all).
 
     Valid when ``bandwidth(stamps) <= 1``.  Returns ``(dl, d, du, b)``,
-    each [n]: per-system assembly traffic drops from O(n²) to O(n).
+    each [n]: per-system assembly traffic drops from O(n²) to O(n), and
+    the band fold is a gather (not a scatter-add), so the batched
+    formulation runs at HBM speed.
     """
     params = jnp.asarray(params, dtype=dtype)
     g_vals, rhs_vals = stamp_values(stamps, params)
-    n = stamps.n
-    bands = _band_entry_indices(stamps)
+    plans = _band_gather_plans(stamps)
 
-    def band(offset):
-        idx = bands[offset]
-        out = jnp.zeros(n, dtype=params.dtype)
-        return out.at[stamps.g_rows[idx]].add(g_vals[idx])
+    def fold(vals, plan):
+        idx, mask = plan
+        return (vals[..., idx] * jnp.asarray(mask, dtype=vals.dtype)).sum(-1)
 
-    dl = band(1)  # G[i, i-1]
-    d = band(0)
-    du = band(-1)  # G[i, i+1]
-    b = jnp.zeros(n, dtype=params.dtype).at[stamps.rhs_rows].add(rhs_vals)
+    dl = fold(g_vals, plans[1])  # G[i, i-1]
+    d = fold(g_vals, plans[0])
+    du = fold(g_vals, plans[-1])  # G[i, i+1]
+    b = fold(rhs_vals, plans["rhs"])
     return dl, d, du, b

@@ -45,15 +45,21 @@ def _pad_to_block(A, b, block: int):
     return A, b, n
 
 
-def _inv_block(D, newton_iters: int = 18):
+def _inv_block(D, newton_iters: int = 12):
     """Batched inverse of [..., k, k] diagonal blocks via Newton-Schulz.
 
-    ``X <- X (2I - D X)`` from the classical safe start
-    ``X0 = D^T / (||D||_1 ||D||_inf)`` (spectral radius of ``I - X0 D`` < 1
-    for any nonsingular D).  Pure matmuls — the XLA ``inv`` expander is a
+    ``X <- X (2I - D X)``, pure matmuls — the XLA ``inv`` expander is a
     column-sequential LU that costs ~19 ms per [256,128,128] call on v5e,
-    versus ~0.06 ms per MXU matmul here.  Iteration count covers
-    cond(D) up to ~1e4 with f32-level residual; the outer refinement loop
+    versus ~0.06 ms per MXU matmul here.
+
+    Start: **Jacobi** ``X0 = diag(1/d_ii)``.  On this solver's stability
+    domain (diagonally dominant blocks — and Schur complements of
+    diagonally dominant matrices stay diagonally dominant) the iteration
+    matrix ``I − X0 D`` has spectral radius < 1 and the Jacobi start
+    converges in ~half the iterations of the classical transpose start
+    ``D^T/(‖D‖₁‖D‖∞)`` (measured: 11-12 vs 23 iterations to 1e-6 on grid
+    Laplacian / random-network blocks).  Iteration count covers cond(D) up
+    to ~1e4 with f32-level residual; the outer refinement loop
     (blocked_solve_refined) mops up the remainder.
 
     ``newton_iters=0`` falls back to the exact expander (used on CPU where
@@ -62,9 +68,8 @@ def _inv_block(D, newton_iters: int = 18):
     if newton_iters == 0:
         return jnp.linalg.inv(D)
     k = D.shape[-1]
-    norm1 = jnp.max(jnp.sum(jnp.abs(D), axis=-2), axis=-1)[..., None, None]
-    norminf = jnp.max(jnp.sum(jnp.abs(D), axis=-1), axis=-1)[..., None, None]
-    X = jnp.swapaxes(D, -1, -2) / (norm1 * norminf)
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)
+    X = jnp.zeros_like(D) + (1.0 / diag)[..., None] * jnp.eye(k, dtype=D.dtype)
     I2 = 2.0 * jnp.eye(k, dtype=D.dtype)
     for _ in range(newton_iters):
         X = X @ (I2 - D @ X)
@@ -73,7 +78,7 @@ def _inv_block(D, newton_iters: int = 18):
 
 def _default_newton_iters() -> int:
     # TPU: matmul-only Newton wins by ~8x; CPU: LAPACK-backed inv wins.
-    return 18 if jax.default_backend() == "tpu" else 0
+    return 12 if jax.default_backend() == "tpu" else 0
 
 
 def blocked_factor(A, block: int = _BLOCK, newton_iters: int | None = None):
@@ -104,11 +109,13 @@ def blocked_factor(A, block: int = _BLOCK, newton_iters: int | None = None):
 
 def blocked_solve_factored(panels, b, block: int = _BLOCK):
     """Solve with panels from :func:`blocked_factor`; both sweeps are
-    batched matmuls.  ``b`` is [..., n]."""
+    batched matmuls.  ``b`` is [..., n] (vector) or [..., n, r] (multi-RHS
+    — the Schur-complement path solves ``A @ Y = [B | b]`` in one sweep)."""
     nb = len(panels)
+    vector_rhs = b.ndim == panels[0][0].ndim - 1
     # Forward elimination: peel one block of y per panel.
     ys = []
-    rest = b[..., None]  # [..., m, 1], shrinking
+    rest = b[..., None] if vector_rhs else b  # [..., m, r], shrinking
     for Dinv, L, U in panels:
         y_t = rest[..., :block, :]
         rest = rest[..., block:, :] - L @ y_t
@@ -122,18 +129,74 @@ def blocked_solve_factored(panels, b, block: int = _BLOCK):
         x_below = x_t if x_below is None else jnp.concatenate(
             [x_t, x_below], axis=-2
         )
-    return x_below[..., 0]
+    return x_below[..., 0] if vector_rhs else x_below
 
 
-def blocked_solve(A, b, block: int = _BLOCK):
+def blocked_solve(A, b, block: int = _BLOCK, precision: str = "highest"):
     """No-pivot blocked dense solve for diagonally-dominant/SPD systems.
 
     Accepts any n (pads internally to the block size).  vmap/jit-friendly.
+    ``precision`` sets the matmul passes on TPU (f32 inputs): "highest" =
+    6-pass bf16 (~f32-exact), "high" = 3-pass (bf16x3, ~1e-6 relative),
+    "default" = single-pass bf16 (~1e-2) — pair the lower tiers with
+    refinement.
     """
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         Ap, bp, n = _pad_to_block(A, b, block)
         X = blocked_factor(Ap, block)
         return blocked_solve_factored(X, bp, block)[..., :n]
+
+
+def schur_solve(G, b, nk: int, block: int = _BLOCK,
+                precision: str = "highest"):
+    """Branch-equation MNA systems via block elimination.
+
+    MNA orders unknowns as [node potentials | branch currents]
+    (SURVEY.md §2.2), so ``G`` is the 2x2 saddle-point form::
+
+        [ A  B ] [xk]   [bk]      A: nk x nk resistive node block
+        [ C  D ] [xb] = [bb]      D: branch-branch couplings (often 0)
+
+    Only resistor stamps land in A (voltage/controlled-source couplings go
+    to B/C/D), so A is a diagonally dominant grounded Laplacian — the
+    no-pivot blocked LU's home turf — while the zero-diagonal branch rows
+    that would break a no-pivot factorization are eliminated exactly:
+
+        A Y = [B | bk]      (one multi-RHS blocked solve, MXU matmuls)
+        S   = D - C Y_B     (small dense Schur complement)
+        S xb = bb - C y_b   (pivoted LU — kbe is small, XLA's is fine)
+        xk  = y_b - Y_B xb
+
+    Callers must ensure A is nonsingular (every node resistively connected
+    to ground — BatchedSolver checks this host-side with a Cholesky probe
+    before selecting this method); vmap/jit-friendly.
+    """
+    n = G.shape[-1]
+    kbe = n - nk
+    assert kbe > 0, "schur_solve requires branch equations"
+    A = G[..., :nk, :nk]
+    Bm = G[..., :nk, nk:]
+    C = G[..., nk:, :nk]
+    D = G[..., nk:, nk:]
+    bk = b[..., :nk]
+    bb = b[..., nk:]
+    with jax.default_matmul_precision(precision):
+        R = jnp.concatenate([Bm, bk[..., None]], axis=-1)  # [..., nk, kbe+1]
+        pad = (-nk) % block
+        if pad:
+            eye = jnp.eye(pad, dtype=A.dtype)
+            A = jnp.pad(A, [(0, 0)] * (A.ndim - 2) + [(0, pad), (0, pad)])
+            A = A.at[..., nk:, nk:].add(eye)
+            R = jnp.pad(R, [(0, 0)] * (R.ndim - 2) + [(0, pad), (0, 0)])
+        panels = blocked_factor(A, block)
+        Y = blocked_solve_factored(panels, R, block)[..., :nk, :]
+        YB = Y[..., :kbe]
+        yb = Y[..., kbe]
+        S = D - C @ YB
+        rhs_b = bb - (C @ yb[..., None])[..., 0]
+        xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
+        xk = yb - (YB @ xb[..., None])[..., 0]
+    return jnp.concatenate([xk, xb], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "iters"))

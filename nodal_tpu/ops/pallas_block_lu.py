@@ -1,0 +1,236 @@
+"""Pallas mega-kernel dense solve: the whole no-pivot blocked LU in VMEM.
+
+The XLA blocked LU (ops/block_lu.py) materializes every shrinking Schur
+complement in HBM — ~100 GB of intermediate traffic for a [1024, 1000,
+1000] batch, which makes it memory-bound at ~6-8k solves/s on v5e even
+though the arithmetic is pure MXU matmuls.  This kernel keeps each
+system's entire matrix resident in VMEM (4 MB at n=1024) and performs the
+factorization and both triangular sweeps without touching HBM: traffic
+drops to read-G + read-b + write-x, near the information-theoretic
+minimum.
+
+Two TPU-specific tricks:
+
+* **System interleaving.**  One system's factorization is a ~220-deep
+  chain of *dependent* 128x128 matmuls (Newton-Schulz inverses + panel
+  updates) — pure MXU latency, ~0.8 µs per link, that throughput cannot
+  hide.  Each kernel instance therefore carries ``T`` independent systems
+  and emits their chains interleaved, so the MXU pipeline stays full
+  (measured: 3.4x at T=4 over T=1).
+* **Lane-replicated RHS.**  The RHS is carried as an [n, 128] matrix so
+  every triangular-sweep op is an MXU-shaped [m, 128] matmul; column 0 is
+  extracted with a one-hot contraction (no sublane transpose, which
+  Mosaic dislikes).
+
+All dots run at ``Precision.HIGHEST`` (Mosaic ``contract_precision<fp32>``).
+Stability domain matches ops/block_lu.py: diagonally dominant / SPD
+systems (all-resistor MNA); the per-panel inverse is Newton-Schulz with
+the Jacobi start (see block_lu._inv_block).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_K = 128  # panel size = MXU tile
+
+#: Systems interleaved per kernel instance (VMEM: T x 4 MB matrices).
+_T = 4
+
+# T x (n, n) matrix scratch + RHS mats + Schur transients must fit VMEM
+# (v5e: 128 MiB physical; we raise Mosaic's 16 MB default scoped limit).
+_MAX_N = 1024
+
+
+def lu_fits_vmem(n: int) -> bool:
+    """Whether the VMEM-resident blocked-LU kernel supports n unknowns."""
+    return _pad(n) <= _MAX_N
+
+
+def _pad(n: int) -> int:
+    return -(-n // _K) * _K
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _x32_scope():
+    """Trace pallas calls with 32-bit index types (i64 index maps fail to
+    compile on Mosaic when jax_enable_x64 is on — see pallas_tridiag)."""
+    return jax.enable_x64(False)
+
+
+def _eye(k: int, dtype):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return (rows == cols).astype(dtype)
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _ns_inverse_many(Ds, iters: int):
+    """Interleaved Newton-Schulz inverses of T [K, K] diagonally dominant
+    blocks, Jacobi start (block_lu._inv_block rationale).  The T chains
+    are independent — emitting them round-robin keeps the MXU pipeline
+    full where a single chain would stall on every dependency."""
+    I = _eye(_K, Ds[0].dtype)
+    I2 = 2.0 * I
+    Xs = []
+    for D in Ds:
+        d = jnp.sum(D * I, axis=1, keepdims=True)  # [K, 1] diagonal
+        Xs.append(I * (1.0 / d))
+    for _ in range(iters):
+        Ts = [_mm(D, X) for D, X in zip(Ds, Xs)]
+        Xs = [_mm(X, I2 - T) for X, T in zip(Xs, Ts)]
+    return Xs
+
+
+def _factor_inplace_many(As, n: int, iters: int):
+    """Right-looking no-pivot blocked LU on T VMEM matrix refs, panel
+    steps interleaved across systems.
+
+    Packed format: diagonal blocks hold Dinv, sub-diagonal panels hold L,
+    super-diagonal rows hold U (Schur-stage values, untouched later)."""
+    nb = n // _K
+    for t in range(nb):
+        lo, hi = t * _K, (t + 1) * _K
+        Xs = _ns_inverse_many([A[lo:hi, lo:hi] for A in As], iters)
+        for A, X in zip(As, Xs):
+            A[lo:hi, lo:hi] = X
+        if t < nb - 1:
+            Ls = [_mm(A[hi:n, lo:hi], X) for A, X in zip(As, Xs)]
+            for A, L in zip(As, Ls):
+                A[hi:n, lo:hi] = L
+            for A, L in zip(As, Ls):
+                A[hi:n, hi:n] = A[hi:n, hi:n] - _mm(L, A[lo:hi, hi:n])
+
+
+def _solve_packed_many(As, rhss, n: int):
+    """Both triangular sweeps with packed factors, T systems interleaved.
+    ``rhss`` are [n, 128] lane-replicated.  Returns T of x [n, 128]."""
+    nb = n // _K
+    ys = [[r[t * _K:(t + 1) * _K, :] for t in range(nb)] for r in rhss]
+    for t in range(nb - 1):
+        lo, hi = t * _K, (t + 1) * _K
+        deltas = [_mm(A[hi:n, lo:hi], y[t]) for A, y in zip(As, ys)]
+        for y, delta in zip(ys, deltas):
+            for s in range(t + 1, nb):
+                y[s] = y[s] - delta[(s - t - 1) * _K:(s - t) * _K, :]
+    xs = [[None] * nb for _ in As]
+    for t in range(nb - 1, -1, -1):
+        lo, hi = t * _K, (t + 1) * _K
+        accs = []
+        for A, y, x in zip(As, ys, xs):
+            acc = y[t]
+            if t < nb - 1:
+                xb = jnp.concatenate(x[t + 1:], axis=0)
+                acc = acc - _mm(A[lo:hi, hi:n], xb)
+            accs.append(acc)
+        for j, (A, acc) in enumerate(zip(As, accs)):
+            xs[j][t] = _mm(A[lo:hi, lo:hi], acc)  # Dinv_t @ acc
+    return [jnp.concatenate(x, axis=0) for x in xs]
+
+
+def _make_kernel(n: int, iters: int):
+    def kernel(g_hbm, b_ref, out_ref, A, sem):
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * _T, _T)
+        cp = pltpu.make_async_copy(g_hbm.at[pl.ds(start, _T)], A, sem)
+        cp.start()
+        cp.wait()
+
+        ones = jnp.ones((1, _K), dtype=jnp.float32)
+        e0 = (jax.lax.broadcasted_iota(jnp.int32, (1, _K), 1) == 0).astype(
+            jnp.float32
+        )
+        As = [A.at[j] for j in range(_T)]
+        # b rows [1, n] -> lane-replicated [n, 128] via outer products.
+        b_mats = [
+            jax.lax.dot_general(
+                b_ref[0, j:j + 1, :], ones, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for j in range(_T)
+        ]
+
+        _factor_inplace_many(As, n, iters)
+        x_mats = _solve_packed_many(As, b_mats, n)
+
+        # Column 0 back to [1, n] rows: contract the lane axis with a
+        # one-hot (no sublane->lane transpose).
+        for j in range(_T):
+            out_ref[0, j] = jax.lax.dot_general(
+                e0, x_mats[j], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("newton_iters",))
+def pallas_lu_solve(G, b, *, newton_iters: int = 12):
+    """Batched dense no-pivot solve, ``_T`` VMEM-resident systems per
+    kernel instance.  ``G`` [B, n, n], ``b`` [B, n] (f32) -> x [B, n].
+
+    n is padded to a multiple of 128 (identity diagonal on the pad, like
+    block_lu._pad_to_block); B is padded to a multiple of ``_T``.
+    Requires ``lu_fits_vmem(n)``.
+    """
+    B_in, n_in, _ = G.shape
+    n = _pad(n_in)
+    if n > _MAX_N:
+        raise ValueError(
+            f"pallas_lu_solve supports n <= {_MAX_N} (VMEM budget); "
+            f"got {n_in} — use ops.block_lu.blocked_solve"
+        )
+    G = G.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if n != n_in:
+        pad = n - n_in
+        G = jnp.pad(G, [(0, 0), (0, pad), (0, pad)])
+        G = G.at[:, n_in:, n_in:].add(jnp.eye(pad, dtype=G.dtype))
+        b = jnp.pad(b, [(0, 0), (0, pad)])
+    B = -(-B_in // _T) * _T
+    if B != B_in:
+        # Pad with identity systems (unit rhs) — cheap and well-conditioned.
+        pad = B - B_in
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), (pad, n, n))
+        G = jnp.concatenate([G, eye], axis=0)
+        b = jnp.concatenate([b, jnp.ones((pad, n), b.dtype)], axis=0)
+
+    with _x32_scope():
+        # b/out carry the (groups, T, n) layout so each block's trailing
+        # two dims equal the array's own trailing dims (full-dimension
+        # blocks are exempt from Mosaic's (8, 128) divisibility rule).
+        x = pl.pallas_call(
+            _make_kernel(n, newton_iters),
+            grid=(B // _T,),
+            out_shape=jax.ShapeDtypeStruct((B // _T, _T, n), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # G stays in HBM
+                pl.BlockSpec((1, _T, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, _T, n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_T, n, n), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            # T 4 MB matrices + Schur transients exceed Mosaic's default
+            # 16 MB scoped-vmem budget; v5e has 128 MiB physical VMEM.
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(G, b.reshape(B // _T, _T, n))
+    return x.reshape(B, n)[:B_in, :n_in]
