@@ -213,19 +213,27 @@ class BatchedSolver:
                 return assemble_dense(self.stamps, params, dtype=dtype)
 
             def solve_batch(params_batch):
-                G, b = jax.vmap(single)(params_batch)
-                if refine:
-                    return block_lu.blocked_solve_refined(G, b)
-                from nodal_tpu.ops.pallas_block_lu import (lu_fits_vmem,
+                from nodal_tpu.ops.pallas_block_lu import (_pad,
+                                                           lu_fits_vmem,
                                                            pallas_lu_solve)
 
                 # VMEM-resident mega-kernel: reads G once, writes x only
                 # (the XLA path round-trips every Schur complement through
-                # HBM).  f32 only; refinement against G is built in.
-                if (jax.default_backend() == "tpu"
+                # HBM).  f32 only; assembly emits the 128-padded shape
+                # directly so no second multi-GB copy is materialized.
+                if (not refine
+                        and jax.default_backend() == "tpu"
                         and jnp.dtype(dtype) == jnp.float32
                         and lu_fits_vmem(self.stamps.n)):
-                    return pallas_lu_solve(G, b)
+                    n_pad = _pad(self.stamps.n)
+                    G, b = jax.vmap(
+                        lambda p: assemble_dense(self.stamps, p,
+                                                 dtype=dtype, pad_to=n_pad)
+                    )(params_batch)
+                    return pallas_lu_solve(G, b, n_valid=self.stamps.n)
+                G, b = jax.vmap(single)(params_batch)
+                if refine:
+                    return block_lu.blocked_solve_refined(G, b)
                 return block_lu.blocked_solve(G, b)
 
         elif method == "schur":

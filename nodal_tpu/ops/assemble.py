@@ -17,19 +17,30 @@ import jax.numpy as jnp
 from nodal_tpu.models.stamps import StampTensors, stamp_values
 
 
-def assemble_dense(stamps: StampTensors, params, dtype=None):
+def assemble_dense(stamps: StampTensors, params, dtype=None,
+                   pad_to: int | None = None):
     """Assemble the dense MNA system ``(G, b)`` for one parameter vector.
 
     jit/vmap-friendly.  ``params`` is the component-value vector in netlist
     order (``stamps.params`` holds the netlist's own values).
+
+    ``pad_to`` assembles directly into a [pad_to, pad_to] matrix with a
+    unit diagonal on the padding (the no-pivot block solvers need
+    128-multiples; padding here avoids materializing a second copy of a
+    multi-GB batch inside their wrappers).
     """
     params = jnp.asarray(params, dtype=dtype)
     g_vals, rhs_vals = stamp_values(stamps, params)
     n = stamps.n
-    G = jnp.zeros((n, n), dtype=params.dtype).at[stamps.g_rows, stamps.g_cols].add(
+    m = pad_to if pad_to is not None else n
+    assert m >= n, (m, n)
+    G = jnp.zeros((m, m), dtype=params.dtype).at[stamps.g_rows, stamps.g_cols].add(
         g_vals
     )
-    b = jnp.zeros(n, dtype=params.dtype).at[stamps.rhs_rows].add(rhs_vals)
+    if m > n:
+        pad_idx = np.arange(n, m)
+        G = G.at[pad_idx, pad_idx].add(1.0)
+    b = jnp.zeros(m, dtype=params.dtype).at[stamps.rhs_rows].add(rhs_vals)
     return G, b
 
 

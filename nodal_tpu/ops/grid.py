@@ -92,15 +92,20 @@ class _Level:
 
 
 @functools.lru_cache(maxsize=32)
-def _build_levels(h: int, w: int) -> tuple:
-    """Geometric hierarchy: halve both dims while even; weight doubles."""
+def _build_levels(h: int, w: int, weight_factor: float = 1.0) -> tuple:
+    """Geometric hierarchy: halve both dims while even.
+
+    ``weight_factor`` is the per-level edge-weight multiplier: 2.0 for
+    replication transfers (PᵀL_wP = L_2w exactly — two parallel unit
+    resistors bridge adjacent 2×2 blocks), 1.0 for bilinear transfers
+    (see _prolong_bilinear)."""
     levels = []
     weight = 1.0
     while True:
         levels.append(_Level(h, w, weight))
         if min(h, w) <= _COARSEST_SIZE or h % 2 or w % 2:
             break
-        h, w, weight = h // 2, w // 2, weight * 2.0
+        h, w, weight = h // 2, w // 2, weight * weight_factor
     return tuple(levels)
 
 
@@ -113,6 +118,45 @@ def _restrict(r):
 def _prolong(xc):
     """Replicate each coarse value over its 2×2 block (P)."""
     return jnp.repeat(jnp.repeat(xc, 2, axis=0), 2, axis=1)
+
+
+def _prolong_bilinear(xc):
+    """Separable cell-centered bilinear prolongation (1D weights 3/4, 1/4,
+    edge-replicated at the boundary; every row sums to 1, so constants —
+    the Neumann nullspace — are preserved exactly).
+
+    Replication-prolongation caps the V-cycle at a ~0.65 CG contraction;
+    bilinear drops the 1M-grid point-source solve from 55 to 8 CG
+    iterations (measured, 1024², tol 1e-6).  Galerkin note: with this P
+    and R = Pᵀ, the coarse operator matching PᵀLP on smooth modes is the
+    *same-weight* grid Laplacian (no weight doubling as with replication)
+    — empirically exact enough that coarse-weight factors 0.5/2.0 both
+    diverge while 1.0 converges in single digits.
+    """
+    xp = jnp.pad(xc, 1, mode="edge")
+    up = 0.75 * xp[1:-1, :] + 0.25 * xp[:-2, :]
+    dn = 0.75 * xp[1:-1, :] + 0.25 * xp[2:, :]
+    rows = jnp.stack([up, dn], axis=1).reshape(2 * xc.shape[0], xp.shape[1])
+    left = 0.75 * rows[:, 1:-1] + 0.25 * rows[:, :-2]
+    right = 0.75 * rows[:, 1:-1] + 0.25 * rows[:, 2:]
+    return jnp.stack([left, right], axis=2).reshape(
+        2 * xc.shape[0], 2 * xc.shape[1]
+    )
+
+
+def _restrict_bilinear(r):
+    """Adjoint of :func:`_prolong_bilinear` (R = Pᵀ, verified by vdot
+    identity in tests) — the out-of-range quarter weights of the
+    edge-replicated prolongation fold back onto the boundary cells."""
+
+    def fold_axis0(f):
+        a = 0.75 * (f[0::2, :] + f[1::2, :])
+        fp = jnp.pad(f, ((1, 1), (0, 0)))
+        out = a + 0.25 * (fp[0:-2:2, :] + fp[3::2, :])
+        out = out.at[0].add(0.25 * f[0]).at[-1].add(0.25 * f[-1])
+        return out
+
+    return fold_axis0(fold_axis0(r.T).T)
 
 
 def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1,
@@ -138,7 +182,7 @@ def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1,
         )
     if backend == "pallas":
         return _make_pallas_preconditioner(h, w, dtype, nu)
-    levels = _build_levels(h, w)
+    levels = _build_levels(h, w, 1.0)  # bilinear transfers: same weight
 
     def jacobi(x, r, weight, sweeps):
         # Weighted Jacobi with the uniform interior diagonal 4*weight
@@ -166,7 +210,7 @@ def make_mg_preconditioner(h: int, w: int, dtype, nu: int = 1,
             return x - jnp.mean(x)
         x = jacobi(jnp.zeros_like(r), r, lv.weight, nu)
         res = r - laplacian_matvec(x, lv.weight)
-        x = x + _prolong(vcycle(_restrict(res), lv_idx + 1))
+        x = x + _prolong_bilinear(vcycle(_restrict_bilinear(res), lv_idx + 1))
         return jacobi(x, r, lv.weight, nu)
 
     def M(r):
@@ -215,8 +259,10 @@ def _make_pallas_preconditioner(h: int, w: int, dtype, nu: int):
                 coarse_sweeps=_COARSE_SWEEPS, coarsest=_COARSEST_SIZE,
             )
         # Finest level(s): one kernel per V-cycle wing (V(1,1) form).
+        # Bilinear transfers pair with a same-weight coarse operator
+        # (_build_levels weight_factor=1.0 rationale).
         rc = fused_presmooth_restrict(r, weight=weight, omega=_JACOBI_OMEGA)
-        zc = descend(rc, 2.0 * weight)
+        zc = descend(rc, weight)
         return fused_prolong_postsmooth(r, zc, weight=weight,
                                         omega=_JACOBI_OMEGA)
 

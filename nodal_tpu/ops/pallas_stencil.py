@@ -63,20 +63,49 @@ def _sweep(v, r, weight: float, omega: float):
     return v + (omega / (4.0 * weight)) * (r - _lap(v, weight))
 
 
-def _agg_matrix(m: int, dtype):
-    """[m, m//2] aggregation matrix with 1s at (i, i//2), built from iota
-    comparisons (no embedded constants — those cost ~100s of remote-TPU
-    compile).  restrict = Rᵀ v R (2×2 block sum), prolong = R x Rᵀ
-    (replication) — both MXU matmuls, since Mosaic rejects strided slicing
-    and reshape-based block reductions."""
+def _bilinear_matrix(m: int, dtype):
+    """[m, m//2] separable cell-centered bilinear prolongation matrix (1D
+    weights 3/4, 1/4; the out-of-range quarter weights fold back onto the
+    edge cells = replicate boundary), built from iota comparisons (no
+    embedded constants — those cost ~100s of remote-TPU compile).
+
+    prolong = B x Bᵀ, restrict = Bᵀ v B — MXU matmuls, since Mosaic
+    rejects strided slicing and reshape-based block reductions.  Bilinear
+    (vs 2×2 replication) is what drops the 1M-grid point-source solve
+    from 55 to 8 CG iterations (see grid._prolong_bilinear)."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (m, m // 2), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (m, m // 2), 1)
-    return (rows // 2 == cols).astype(dtype)
+    base = (rows // 2 == cols).astype(dtype) * dtype.type(0.75)
+    quarter = (
+        (rows == 2 * cols - 1) | (rows == 2 * cols + 2)
+    ).astype(dtype) * dtype.type(0.25)
+    fold = (
+        ((rows == 0) & (cols == 0))
+        | ((rows == m - 1) & (cols == m // 2 - 1))
+    ).astype(dtype) * dtype.type(0.25)
+    return base + quarter + fold
+
+
+def _bilinear_window_matrix(win: int, nc: int, offset: int, dtype):
+    """[win, nc] bilinear prolongation rows for a haloed tile window: fine
+    window row f maps to coarse rows around ``(f - offset) / 2``.  No edge
+    folds — at interior tile seams the halo supplies the true neighbors,
+    and at global edges the symmetric pad outside already duplicates the
+    edge row (≡ the fold)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (win, nc), 0) - offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (win, nc), 1)
+    base = (
+        (rows == 2 * cols) | (rows == 2 * cols + 1)
+    ).astype(dtype) * dtype.type(0.75)
+    quarter = (
+        (rows == 2 * cols - 1) | (rows == 2 * cols + 2)
+    ).astype(dtype) * dtype.type(0.25)
+    return base + quarter
 
 
 def _restrict_mm(v):
-    R = _agg_matrix(v.shape[0], v.dtype)
-    C = _agg_matrix(v.shape[1], v.dtype)
+    R = _bilinear_matrix(v.shape[0], v.dtype)
+    C = _bilinear_matrix(v.shape[1], v.dtype)
     return jnp.dot(
         jnp.dot(R.T, v, preferred_element_type=v.dtype), C,
         preferred_element_type=v.dtype,
@@ -84,8 +113,8 @@ def _restrict_mm(v):
 
 
 def _prolong_mm(x):
-    R = _agg_matrix(x.shape[0] * 2, x.dtype)
-    C = _agg_matrix(x.shape[1] * 2, x.dtype)
+    R = _bilinear_matrix(x.shape[0] * 2, x.dtype)
+    C = _bilinear_matrix(x.shape[1] * 2, x.dtype)
     return jnp.dot(
         jnp.dot(R, x, preferred_element_type=x.dtype), C.T,
         preferred_element_type=x.dtype,
@@ -225,8 +254,16 @@ def fused_presmooth_restrict(r, *, weight: float = 1.0, omega: float = 0.8):
         cp.start()
         cp.wait()
         rr = r_vmem[:]
-        res = (rr - _lap(c * rr, weight))[k : k + tb, :]
-        rc_ref[:] = _restrict_mm(res)
+        res = rr - _lap(c * rr, weight)  # [win, w]; halo rows feed restrict
+        # Bilinear restrict straight off the haloed window: the quarter
+        # weights reach one fine row beyond the tile, which the halo
+        # supplies exactly (no fold at interior seams).
+        Rw = _bilinear_window_matrix(win, tb // 2, k, res.dtype)
+        C = _bilinear_matrix(w, res.dtype)
+        rc_ref[:] = jnp.dot(
+            jnp.dot(Rw.T, res, preferred_element_type=res.dtype), C,
+            preferred_element_type=res.dtype,
+        )
 
     with _x32_scope():
         return pl.pallas_call(
@@ -302,7 +339,17 @@ def fused_prolong_postsmooth(r, zc, *, weight: float = 1.0,
         cp_r.wait()
         cp_z.wait()
         rr = r_vmem[:]
-        x = c * rr + _prolong_mm(z_vmem[:])
+        # Bilinear prolongation over the haloed windows; fine/coarse halos
+        # align (k = 2*kc) so the row map needs no offset, and window-edge
+        # rows (where the no-fold matrix is wrong) sit ≥ 7 rows outside
+        # the [k, k+tb) slice + 1-row stencil halo actually consumed.
+        Bw = _bilinear_window_matrix(win, winc, 0, rr.dtype)
+        C = _bilinear_matrix(w, rr.dtype)
+        zf = jnp.dot(
+            jnp.dot(Bw, z_vmem[:], preferred_element_type=rr.dtype), C.T,
+            preferred_element_type=rr.dtype,
+        )
+        x = c * rr + zf
         out_ref[:] = (x + c * (rr - _lap(x, weight)))[k : k + tb, :]
 
     with _x32_scope():
@@ -363,7 +410,9 @@ def fused_vcycle(r, *, weight: float = 1.0, omega: float = 0.8, nu: int = 1,
         for _ in range(nu):
             x = _sweep(x, rr, wt, omega)
         res = rr - _lap(x, wt)
-        x = x + _prolong_mm(vcycle(_restrict_mm(res), 2.0 * wt))
+        # Bilinear transfers: the matching coarse operator keeps the SAME
+        # edge weight (grid._build_levels weight_factor=1.0 rationale).
+        x = x + _prolong_mm(vcycle(_restrict_mm(res), wt))
         for _ in range(nu):
             x = _sweep(x, rr, wt, omega)
         return x
