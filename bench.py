@@ -108,7 +108,15 @@ def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto"):
     return solves_per_sec, dt, err, solver.method
 
 
-def bench_grid(n: int, tol: float):
+def bench_grid(n: int, tol: float, k: int = 4):
+    """1M-node grid equivalent resistance.
+
+    Reports BOTH the single-call latency (includes one host->device
+    dispatch round trip — ~25 ms through the remote-TPU tunnel, which
+    dominates now that the solve itself converges in single digits) and
+    the marginal per-solve time measured as k chained solves in ONE
+    program with one scalar fetch.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -126,7 +134,25 @@ def bench_grid(n: int, tol: float):
     r = float(r)
     iters = int(info.iterations)
     dt = time.perf_counter() - t0
-    return r, dt, iters
+
+    @jax.jit
+    def run_k():
+        # Chain k solves through the probe offset so XLA cannot collapse
+        # them; accumulate a checksum so one fetch drains everything.
+        total = jnp.float32(0.0)
+        for i in range(k):
+            ri, _ = grid_equivalent_resistance(
+                n, n, a, (n // 2 + 1 + i, n // 2 + 2), dtype=jnp.float32,
+                tol=tol,
+            )
+            total = total + ri
+        return total
+
+    float(run_k())
+    t0 = time.perf_counter()
+    float(run_k())
+    marginal = (time.perf_counter() - t0) / k
+    return r, dt, iters, marginal
 
 
 def main(argv=None):
@@ -190,11 +216,12 @@ def main(argv=None):
             }
         )
     if not args.skip_grid:
-        r, grid_dt, iters = bench_grid(args.grid, args.grid_tol)
+        r, grid_dt, iters, marginal = bench_grid(args.grid, args.grid_tol)
         extra.update(
             {
                 "grid_n": args.grid * args.grid,
                 "grid_solve_s": round(grid_dt, 4),
+                "grid_solve_marginal_s": round(marginal, 4),
                 "grid_cg_iters": iters,
                 "grid_R_knights_move": round(r, 6),
             }

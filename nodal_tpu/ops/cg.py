@@ -39,6 +39,7 @@ def cg(
     tol: float = 1e-9,
     maxiter: int | None = None,
     axis_names=None,
+    cond_axis_names=None,
 ):
     """Preconditioned conjugate gradient for SPD operators.
 
@@ -48,6 +49,14 @@ def cg(
     then ``psum``-reduced across those mesh axes, so the whole loop runs
     SPMD with the matvec's own halo exchange as the only other communication.
     Returns ``(x, SolveInfo)``.
+
+    ``cond_axis_names``: extra mesh axes over which the loop-exit decision
+    must AGREE.  When independent problems run on disjoint device groups
+    (e.g. batches over ``dp``) but the loop body contains collectives, a
+    group exiting early deadlocks the others' rendezvous — every device in
+    the launch must execute the same collective sequence.  Groups that are
+    already converged keep iterating harmlessly until the slowest one
+    finishes (denominators are exact-zero-guarded).
 
     Convergence: ||r||_2 <= tol * ||b||_2, capped at ``maxiter``.
     """
@@ -63,6 +72,9 @@ def cg(
             d = jax.lax.psum(d, axis_names)
         return d
 
+    def safe_div(num, den):
+        return num / jnp.where(den == 0, 1.0, den)
+
     b_norm2 = dot(b, b)
     atol2 = (tol * tol) * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
 
@@ -72,17 +84,23 @@ def cg(
 
     def cond(state):
         _, r, *_rest, k = state
-        return jnp.logical_and(dot(r, r) > atol2, k < maxiter)
+        unconverged = dot(r, r) > atol2
+        if cond_axis_names:
+            unconverged = (
+                jax.lax.psum(unconverged.astype(jnp.float32),
+                             cond_axis_names) > 0
+            )
+        return jnp.logical_and(unconverged, k < maxiter)
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
-        alpha = rz / dot(p, Ap)
+        alpha = safe_div(rz, dot(p, Ap))
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
         rz_new = dot(r, z)
-        p = z + (rz_new / rz) * p
+        p = z + safe_div(rz_new, rz) * p
         return (x, r, z, p, rz_new, k + 1)
 
     x, r, *_, k = jax.lax.while_loop(cond, body, state)
