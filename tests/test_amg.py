@@ -26,15 +26,64 @@ def _grid_system(h, w):
 
 def test_hierarchy_shrinks_and_preserves_sum():
     stamps, topo, vals = _grid_system(20, 20)
-    levels = build_hierarchy(stamps.n, topo.rows, topo.cols, vals)
+    # Unsmoothed: Galerkin with piecewise-constant P preserves the total
+    # matrix sum (1^T A 1 is invariant since P 1_c = 1_f on aggregates).
+    levels = build_hierarchy(stamps.n, topo.rows, topo.cols, vals,
+                             smooth_prolongation=False)
     assert len(levels) >= 2
     sizes = [lv.n for lv in levels]
     assert all(sizes[i + 1] < sizes[i] for i in range(len(sizes) - 1))
-    assert levels[-1].agg is None
-    # Galerkin with piecewise-constant P preserves the total matrix sum
-    # (1^T A 1 is invariant under P since P 1_c = 1_f on aggregates).
+    assert levels[-1].p_rows is None
     for a, b in zip(levels[:-1], levels[1:]):
         np.testing.assert_allclose(a.vals.sum(), b.vals.sum(), rtol=1e-9)
+
+
+def test_smoothed_hierarchy_preserves_constants():
+    # The smoothed prolongator must keep P 1_c = 1_f on the Laplacian's
+    # near-nullspace: (I - w D^-1 A) applied to the constant changes it by
+    # w D^-1 A 1 = 0 only where A has zero row sums (interior); grounding
+    # leaks perturb rows they touch, which is correct (the near-nullspace
+    # there is not the constant).  Check the pure-Laplacian rows exactly.
+    stamps, topo, vals = _grid_system(24, 24)
+    levels = build_hierarchy(stamps.n, topo.rows, topo.cols, vals)
+    lv = levels[0]
+    assert lv.p_rows is not None
+    # P @ 1
+    ones_c = np.ones(lv.n_coarse)
+    p1 = np.zeros(lv.n)
+    np.add.at(p1, lv.p_rows, lv.p_vals * ones_c[lv.p_cols])
+    # rows with zero row-sum in A (pure Laplacian rows)
+    rowsum = np.zeros(lv.n)
+    np.add.at(rowsum, lv.rows, lv.vals)
+    interior = np.abs(rowsum) < 1e-12
+    np.testing.assert_allclose(p1[interior], 1.0, atol=1e-12)
+
+
+def test_sa_fill_gate_reverts_on_expanders():
+    # Random expander-ish graph: smoothing must be auto-reverted (fill cap)
+    # so the hierarchy stays sparse.
+    rng = np.random.default_rng(1)
+    n = 2000
+    rows, cols, vals = [], [], []
+    for _ in range(6 * n):
+        i, j = rng.integers(0, n, 2)
+        if i == j:
+            continue
+        g = rng.uniform(0.2, 5)
+        rows += [i, j, i, j]
+        cols += [i, j, j, i]
+        vals += [g, g, -g, -g]
+    rows = np.array(rows, np.int32)
+    cols = np.array(cols, np.int32)
+    vals = np.array(vals, float)
+    key = rows.astype(np.int64) * n + cols
+    uniq, inv = np.unique(key, return_inverse=True)
+    merged = np.zeros(len(uniq))
+    np.add.at(merged, inv, vals)
+    levels = build_hierarchy(n, (uniq // n).astype(np.int32),
+                             (uniq % n).astype(np.int32), merged)
+    for a, b in zip(levels[:-1], levels[1:]):
+        assert len(b.vals) <= 4.5 * len(a.vals), "fill gate failed"
 
 
 def test_amg_cg_beats_jacobi_on_irregular_network(tmp_netlist):

@@ -94,6 +94,40 @@ def test_grid_solve_pallas_mega_kernel():
     assert np.isfinite(float(r)) and float(r) > 0
 
 
+def test_pallas_lu_mosaic():
+    # The VMEM-resident blocked-LU mega-kernel (T=8 interleave, manual
+    # HBM->VMEM DMA, raised scoped-vmem limit) — the general-topology
+    # batched fast path.
+    from nodal_tpu.ops.assemble import assemble_dense
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.ops.pallas_block_lu import pallas_lu_solve
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    rows = list(grid_rows(10, 10, (0, 0), (9, 9)))
+    rows.append(["src", "A", "1", "1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    stamps = circuit.stamps
+    B = 16
+    batch = jnp.asarray(np.tile(stamps.params.astype(np.float32), (B, 1)))
+    G, b = jax.vmap(
+        lambda p: assemble_dense(stamps, p, dtype=jnp.float32)
+    )(batch)
+    x = np.asarray(pallas_lu_solve(G, b))
+    # Host-side f64 reference (no CPU jax backend is registered when
+    # JAX_PLATFORMS pins the TPU plugin).
+    from nodal_tpu.models.stamps import stamp_values_np
+
+    g_vals, rhs_vals = stamp_values_np(stamps, stamps.params)
+    G0 = np.zeros((stamps.n, stamps.n))
+    np.add.at(G0, (stamps.g_rows, stamps.g_cols), g_vals)
+    b0 = np.zeros(stamps.n)
+    np.add.at(b0, stamps.rhs_rows, rhs_vals)
+    expected = np.linalg.solve(G0, b0)
+    err = np.max(np.abs(x[0].astype(np.float64) - expected)) / np.max(
+        np.abs(expected))
+    assert err < 1e-2  # f32 no-pivot floor; batched path audits residuals
+
+
 def test_batched_tridiag_solver_end_to_end():
     # The bench fast path: band assembly + VMEM PCR under one jit.
     from nodal_tpu import Circuit, Netlist
