@@ -199,11 +199,8 @@ def main(argv=None):
         gen_sps, gen_dt, gen_err, gen_method = bench_batched_solves(
             _mesh_circuit(args.nodes), args.general_batch, args.reps
         )
-        # The Schur path holds G + the padded node-block factor panels, so
-        # it fits half the dense path's batch in HBM.
         br_sps, br_dt, br_err, br_method = bench_batched_solves(
-            _branch_circuit(args.nodes), max(args.general_batch // 2, 1),
-            args.reps
+            _branch_circuit(args.nodes), args.general_batch, args.reps
         )
         extra.update(
             {

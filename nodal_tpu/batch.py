@@ -34,6 +34,46 @@ from nodal_tpu.ops import dense_solve
 _AUDIT_CHUNK_BYTES = 512 << 20
 
 
+def _schur_block_assembler(stamps: StampTensors, dtype, nk_pad: int):
+    """Closure assembling the MNA 2x2 block partition directly (no full-G
+    materialization): A [nk_pad, nk_pad] (128-padded, unit pad diagonal),
+    B [nk, kbe], C [kbe, nk], D [kbe, kbe], and the split RHS.  Host-side
+    index planning; jit/vmap-friendly application."""
+    from nodal_tpu.models.stamps import stamp_values
+
+    nk = stamps.n_kcl
+    kbe = stamps.n - nk
+    gr = stamps.g_rows
+    gc = stamps.g_cols
+    iA = np.nonzero((gr < nk) & (gc < nk))[0]
+    iB = np.nonzero((gr < nk) & (gc >= nk))[0]
+    iC = np.nonzero((gr >= nk) & (gc < nk))[0]
+    iD = np.nonzero((gr >= nk) & (gc >= nk))[0]
+    rr = stamps.rhs_rows
+    ik = np.nonzero(rr < nk)[0]
+    ib = np.nonzero(rr >= nk)[0]
+    pad_idx = np.arange(nk, nk_pad)
+
+    def blocks(params):
+        g_vals, rhs_vals = stamp_values(
+            stamps, jnp.asarray(params, dtype=dtype)
+        )
+        A = jnp.zeros((nk_pad, nk_pad), dtype).at[gr[iA], gc[iA]].add(
+            g_vals[iA])
+        A = A.at[pad_idx, pad_idx].add(1.0)
+        Bm = jnp.zeros((nk, kbe), dtype).at[gr[iB], gc[iB] - nk].add(
+            g_vals[iB])
+        C = jnp.zeros((kbe, nk), dtype).at[gr[iC] - nk, gc[iC]].add(
+            g_vals[iC])
+        D = jnp.zeros((kbe, kbe), dtype).at[gr[iD] - nk, gc[iD] - nk].add(
+            g_vals[iD])
+        bk = jnp.zeros(nk, dtype).at[rr[ik]].add(rhs_vals[ik])
+        bb = jnp.zeros(kbe, dtype).at[rr[ib] - nk].add(rhs_vals[ib])
+        return A, Bm, C, D, bk, bb
+
+    return blocks
+
+
 def _schur_supported(stamps: StampTensors) -> bool:
     """Host-side probe: is the resistive node block A = G[:nk, :nk] SPD?
 
@@ -238,6 +278,43 @@ class BatchedSolver:
 
         elif method == "schur":
             nk = self.stamps.n_kcl
+            kbe = self.stamps.n - nk
+
+            from nodal_tpu.ops.pallas_block_lu import (_K, _pad,
+                                                       lu_fits_vmem,
+                                                       pallas_lu_solve_multi)
+
+            use_pallas = (
+                not refine
+                and jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) == jnp.float32
+                and lu_fits_vmem(nk)
+                and kbe < _K
+            )
+            if use_pallas:
+                plan = _schur_block_assembler(self.stamps, dtype,
+                                              _pad(nk))
+
+                def solve_batch(params_batch):
+                    A, Bm, C, D, bk, bb = jax.vmap(plan)(params_batch)
+                    R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
+                    R = jnp.pad(
+                        R, [(0, 0), (0, A.shape[-1] - nk), (0, 0)]
+                    )
+                    # One multi-RHS VMEM-kernel factorization per system:
+                    # Y = A^-1 [B | bk] rides the kernel's 128 RHS lanes.
+                    Y = pallas_lu_solve_multi(A, R)[:, :nk, :]
+                    YB = Y[..., :kbe]
+                    yb = Y[..., kbe]
+                    with jax.default_matmul_precision("highest"):
+                        S = D - C @ YB
+                        rhs_b = bb - (C @ yb[..., None])[..., 0]
+                        xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
+                        xk = yb - (YB @ xb[..., None])[..., 0]
+                    return jnp.concatenate([xk, xb], axis=-1)
+
+                self._solve = jax.jit(solve_batch)
+                return
 
             def single(params):
                 return assemble_dense(self.stamps, params, dtype=dtype)

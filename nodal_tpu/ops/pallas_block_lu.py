@@ -185,6 +185,81 @@ def _make_kernel(n: int, iters: int):
     return kernel
 
 
+def _make_multi_kernel(n: int, iters: int):
+    def kernel(g_hbm, r_ref, out_ref, A, sem):
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * _T, _T)
+        cp = pltpu.make_async_copy(g_hbm.at[pl.ds(start, _T)], A, sem)
+        cp.start()
+        cp.wait()
+        As = [A.at[j] for j in range(_T)]
+        rhs_mats = [r_ref[j] for j in range(_T)]
+        _factor_inplace_many(As, n, iters)
+        x_mats = _solve_packed_many(As, rhs_mats, n)
+        for j in range(_T):
+            out_ref[j] = x_mats[j]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("newton_iters",))
+def pallas_lu_solve_multi(G, R, *, newton_iters: int = 12):
+    """Batched dense no-pivot MULTI-RHS solve: ``G`` [B, n, n],
+    ``R`` [B, n, r] with r <= 128 -> X [B, n, r].
+
+    The kernel's RHS carrier is an [n, 128] lane matrix either way (the
+    single-RHS path lane-replicates one vector); here the lanes hold up to
+    128 *distinct* right-hand sides, so a whole Schur-complement column
+    block ``A⁻¹ [B | b]`` costs the same factorization plus one extra
+    HBM round trip for R/X.  Same padding/stability rules as
+    :func:`pallas_lu_solve`; ``G`` must already be 128-padded with a unit
+    diagonal (assemble_dense(pad_to=...)).
+    """
+    B_in, n, _ = G.shape
+    r_in = R.shape[-1]
+    if n % _K or n > _MAX_N:
+        raise ValueError(
+            f"pallas_lu_solve_multi needs 128-padded n <= {_MAX_N}, got {n}"
+        )
+    if r_in > _K:
+        raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
+    G = G.astype(jnp.float32)
+    R = R.astype(jnp.float32)
+    if r_in != _K:
+        R = jnp.pad(R, [(0, 0), (0, 0), (0, _K - r_in)])
+    B = -(-B_in // _T) * _T
+    if B != B_in:
+        pad = B - B_in
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), (pad, n, n))
+        G = jnp.concatenate([G, eye], axis=0)
+        R = jnp.concatenate(
+            [R, jnp.ones((pad, n, _K), R.dtype)], axis=0
+        )
+
+    with _x32_scope():
+        x = pl.pallas_call(
+            _make_multi_kernel(n, newton_iters),
+            grid=(B // _T,),
+            out_shape=jax.ShapeDtypeStruct((B, n, _K), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # G stays in HBM
+                pl.BlockSpec((_T, n, _K), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_T, n, _K), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_T, n, n), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(G, R)
+    return x[:B_in, :, :r_in]
+
+
 @functools.partial(jax.jit, static_argnames=("newton_iters", "n_valid"))
 def pallas_lu_solve(G, b, *, newton_iters: int = 12,
                     n_valid: int | None = None):

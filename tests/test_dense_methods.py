@@ -126,6 +126,71 @@ def test_pallas_lu_size_guard():
         pallas_lu_solve(big, jnp.ones((1, 2048), jnp.float32))
 
 
+def test_pallas_lu_multi_rhs_interpret():
+    from nodal_tpu.ops.pallas_block_lu import pallas_lu_solve_multi
+
+    rng = np.random.default_rng(7)
+    B, n, r = 3, 256, 5
+    A = rng.standard_normal((B, n, n)).astype(np.float32) * 0.5
+    A = A + np.transpose(A, (0, 2, 1))
+    A += np.eye(n)[None] * (np.abs(A).sum(-1).max(-1)[:, None, None] + 1.0)
+    R = rng.standard_normal((B, n, r)).astype(np.float32)
+    X = np.asarray(pallas_lu_solve_multi(jnp.asarray(A), jnp.asarray(R)))
+    exp = np.linalg.solve(A.astype(np.float64), R.astype(np.float64))
+    err = np.max(np.abs(X - exp)) / np.max(np.abs(exp))
+    assert err < 5e-5
+
+
+def test_schur_block_assembler_matches_full_assembly():
+    from nodal_tpu.batch import _schur_block_assembler
+    from nodal_tpu.ops.pallas_block_lu import _pad
+
+    circuit = _mesh_with_branches()
+    stamps = circuit.stamps
+    nk, kbe = stamps.n_kcl, stamps.n - stamps.n_kcl
+    nk_pad = _pad(nk)
+    blocks = _schur_block_assembler(stamps, jnp.float64, nk_pad)
+    rng = np.random.default_rng(0)
+    params = stamps.params * (1 + 0.1 * rng.standard_normal(
+        len(stamps.params)))
+    A, Bm, C, D, bk, bb = [np.asarray(t) for t in blocks(params)]
+    G, b = assemble_dense(stamps, jnp.asarray(params, jnp.float64))
+    G, b = np.asarray(G), np.asarray(b)
+    np.testing.assert_array_equal(A[:nk, :nk], G[:nk, :nk])
+    np.testing.assert_array_equal(A[nk:, nk:], np.eye(nk_pad - nk))
+    assert not A[:nk, nk:].any() and not A[nk:, :nk].any()
+    np.testing.assert_array_equal(Bm, G[:nk, nk:])
+    np.testing.assert_array_equal(C, G[nk:, :nk])
+    np.testing.assert_array_equal(D, G[nk:, nk:])
+    np.testing.assert_array_equal(bk, b[:nk])
+    np.testing.assert_array_equal(bb, b[nk:])
+
+
+def test_schur_via_pallas_multi_matches_dense_interpret():
+    # Mirrors the TPU schur fast path (batch.py) with the interpret-mode
+    # kernel: block assembly -> multi-RHS VMEM LU -> Schur algebra.
+    from nodal_tpu.batch import _schur_block_assembler
+    from nodal_tpu.ops.pallas_block_lu import _pad, pallas_lu_solve_multi
+
+    circuit = _mesh_with_branches()
+    stamps = circuit.stamps
+    nk, kbe = stamps.n_kcl, stamps.n - stamps.n_kcl
+    blocks = _schur_block_assembler(stamps, jnp.float32, _pad(nk))
+    batch = np.tile(stamps.params, (2, 1)).astype(np.float32)
+    A, Bm, C, D, bk, bb = jax.vmap(blocks)(jnp.asarray(batch))
+    R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
+    R = jnp.pad(R, [(0, 0), (0, A.shape[-1] - nk), (0, 0)])
+    Y = pallas_lu_solve_multi(A, R)[:, :nk, :]
+    YB, yb = Y[..., :kbe], Y[..., kbe]
+    S = D - C @ YB
+    xb = jnp.linalg.solve(S, (bb - (C @ yb[..., None])[..., 0])[..., None])[..., 0]
+    xk = yb - (YB @ xb[..., None])[..., 0]
+    x = np.asarray(jnp.concatenate([xk, xb], axis=-1))
+    exp = _expected(circuit, batch[0])
+    err = np.max(np.abs(x[0] - exp)) / np.max(np.abs(exp))
+    assert err < 1e-4
+
+
 def test_newton_inverse_jacobi_start_weakly_dominant():
     # Interior Laplacian rows have |diag| == sum|offdiag| (weak dominance);
     # the Jacobi-start Newton-Schulz must still converge.

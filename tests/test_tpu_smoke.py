@@ -128,6 +128,20 @@ def test_pallas_lu_mosaic():
     assert err < 1e-2  # f32 no-pivot floor; batched path audits residuals
 
 
+def test_pallas_lu_multi_rhs_mosaic():
+    from nodal_tpu.ops.pallas_block_lu import pallas_lu_solve_multi
+
+    rng = np.random.default_rng(3)
+    B, n, r = 8, 256, 5
+    A = rng.standard_normal((B, n, n)).astype(np.float32) * 0.5
+    A = A + np.transpose(A, (0, 2, 1))
+    A += np.eye(n)[None] * (np.abs(A).sum(-1).max(-1)[:, None, None] + 1.0)
+    R = rng.standard_normal((B, n, r)).astype(np.float32)
+    X = np.asarray(pallas_lu_solve_multi(jnp.asarray(A), jnp.asarray(R)))
+    exp = np.linalg.solve(A.astype(np.float64), R.astype(np.float64))
+    assert np.max(np.abs(X - exp)) / np.max(np.abs(exp)) < 1e-3
+
+
 def test_batched_tridiag_solver_end_to_end():
     # The bench fast path: band assembly + VMEM PCR under one jit.
     from nodal_tpu import Circuit, Netlist
