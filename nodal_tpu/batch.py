@@ -74,6 +74,43 @@ def _schur_block_assembler(stamps: StampTensors, dtype, nk_pad: int):
     return blocks
 
 
+def _schur_band_assembler(stamps: StampTensors, dtype, bplan):
+    """Banded variant of :func:`_schur_block_assembler`: the resistive node
+    block A is assembled straight into RCM-reordered block-band storage
+    (ops.band.BandPlan), with B's rows / C's columns / bk carried in the
+    same ordering so only the final xk needs un-permuting."""
+    from nodal_tpu.models.stamps import stamp_values
+
+    nk = stamps.n_kcl
+    kbe = stamps.n - nk
+    gr = stamps.g_rows
+    gc = stamps.g_cols
+    rank = bplan.rank
+    iB = np.nonzero((gr < nk) & (gc >= nk))[0]
+    iC = np.nonzero((gr >= nk) & (gc < nk))[0]
+    iD = np.nonzero((gr >= nk) & (gc >= nk))[0]
+    rB = rank[gr[iB].astype(np.int64)]  # B rows in band order
+    cC = rank[gc[iC].astype(np.int64)]  # C cols in band order
+    rr = stamps.rhs_rows
+    ib = np.nonzero(rr >= nk)[0]
+    n_pad = bplan.n_pad
+
+    def blocks(params):
+        params = jnp.asarray(params, dtype=dtype)
+        g_vals, rhs_vals = stamp_values(stamps, params)
+        W, bk = bplan.assemble(stamps, params, dtype=dtype)
+        Bm = jnp.zeros((n_pad, kbe), dtype).at[rB, gc[iB] - nk].add(
+            g_vals[iB])
+        C = jnp.zeros((kbe, n_pad), dtype).at[gr[iC] - nk, cC].add(
+            g_vals[iC])
+        D = jnp.zeros((kbe, kbe), dtype).at[gr[iD] - nk, gc[iD] - nk].add(
+            g_vals[iD])
+        bb = jnp.zeros(kbe, dtype).at[rr[ib] - nk].add(rhs_vals[ib])
+        return W, Bm, C, D, bk, bb
+
+    return blocks
+
+
 def _schur_supported(stamps: StampTensors) -> bool:
     """Host-side probe: is the resistive node block A = G[:nk, :nk] SPD?
 
@@ -146,7 +183,12 @@ class BatchedSolver:
     * ``tridiag`` — chain/ladder topologies (bandwidth ≤ 1, purely
       resistive): band assembly + parallel cyclic reduction, O(n log n)
       work, no dense matrix ever built.
-    * ``block``  — general resistive (diagonally dominant) systems: the
+    * ``band``   — locally-connected resistive circuits (meshes, buses)
+      whose half-bandwidth after a reverse Cuthill-McKee reordering is
+      ≤ 128: block-tridiagonal no-pivot Thomas (ops.band /
+      ops.pallas_band), O(n·K²) work instead of O(n³/3) and 3·K·n
+      storage instead of n².
+    * ``block``  — remaining resistive (diagonally dominant) systems: the
       MXU-native no-pivot blocked LU (ops.block_lu).
     * ``schur``  — branch-equation systems whose resistive node block is
       SPD (checked host-side with a Cholesky probe): block elimination —
@@ -180,15 +222,23 @@ class BatchedSolver:
         self.dtype = dtype
         self.refine = refine
 
-        if method not in ("auto", "tridiag", "block", "schur", "dense"):
+        if method not in ("auto", "tridiag", "band", "block", "schur",
+                          "dense"):
             raise ValueError(
                 f"unknown method {method!r}; expected one of "
-                "'auto', 'tridiag', 'block', 'schur', 'dense'"
+                "'auto', 'tridiag', 'band', 'block', 'schur', 'dense'"
             )
+        from nodal_tpu.ops.band import band_plan
+
         resistive = self.stamps.n == self.stamps.n_kcl  # no branch equations
         if method == "auto":
             if resistive and bandwidth(self.stamps) <= 1:
                 method = "tridiag"
+            elif resistive and (plan := band_plan(self.stamps)) is not None \
+                    and plan.nb >= 2:
+                # Bandable after RCM: O(n·K²) block-Thomas beats the dense
+                # O(n³/3) blocked LU and shrinks storage n² -> 3·K·n.
+                method = "band"
             elif resistive:
                 method = "block"
             elif self.stamps.n_kcl >= 256 and _schur_supported(self.stamps):
@@ -198,10 +248,15 @@ class BatchedSolver:
                 method = "schur"
             else:
                 method = "dense"
-        elif method in ("tridiag", "block") and not resistive:
+        elif method in ("tridiag", "band", "block") and not resistive:
             raise ValueError(
                 f"method={method!r} requires a purely resistive circuit "
                 "(branch equations put zeros on the diagonal)"
+            )
+        elif method == "band" and band_plan(self.stamps) is None:
+            raise ValueError(
+                "method='band' requires half-bandwidth <= 128 after RCM "
+                "reordering; this circuit does not band — use 'block'"
             )
         elif method == "schur":
             if resistive:
@@ -247,6 +302,48 @@ class BatchedSolver:
                     ):
                         return pcr_solve_padded(dl, d, du, b)
                     return tridiag.tridiag_solve(dl, d, du, b)
+        elif method == "band":
+            plan = band_plan(self.stamps)
+            from nodal_tpu.ops.band import band_matvec, band_thomas_solve
+            from nodal_tpu.ops.pallas_band import (band_fits_vmem,
+                                                   pallas_band_solve)
+
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and jnp.dtype(dtype) == jnp.float32
+                and band_fits_vmem(plan.n_pad)
+            )
+
+            def band_core(W, b):
+                if use_pallas:
+                    return pallas_band_solve(W, b)
+                return band_thomas_solve(W, b)
+
+            if refine:
+
+                def solve_batch(params_batch):
+                    # f32 banded solves, f64 band-space residuals — the
+                    # banded analogue of _refined_tridiag_solver.
+                    W64, b64 = jax.vmap(
+                        lambda p: plan.assemble(self.stamps, p,
+                                                dtype=jnp.float64)
+                    )(params_batch.astype(jnp.float64))
+                    f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
+                    x = band_core(f32(W64), f32(b64)).astype(jnp.float64)
+                    for _ in range(2):
+                        r = b64 - band_matvec(W64, x)
+                        dx = band_core(f32(W64), f32(r))
+                        x = x + dx.astype(jnp.float64)
+                    return plan.unpermute(x)
+
+            else:
+
+                def solve_batch(params_batch):
+                    W, b = jax.vmap(
+                        lambda p: plan.assemble(self.stamps, p, dtype=dtype)
+                    )(params_batch)
+                    return plan.unpermute(band_core(W, b))
+
         elif method == "block":
 
             def single(params):
@@ -284,13 +381,42 @@ class BatchedSolver:
                                                        lu_fits_vmem,
                                                        pallas_lu_solve_multi)
 
-            use_pallas = (
+            from nodal_tpu.ops.band import node_band_plan
+            from nodal_tpu.ops.pallas_band import (band_fits_vmem,
+                                                   pallas_band_solve_multi)
+
+            on_tpu_f32 = (
                 not refine
                 and jax.default_backend() == "tpu"
                 and jnp.dtype(dtype) == jnp.float32
-                and lu_fits_vmem(nk)
                 and kbe < _K
             )
+            nplan = node_band_plan(self.stamps) if on_tpu_f32 else None
+            if on_tpu_f32 and nplan is not None and nplan.nb >= 2 \
+                    and band_fits_vmem(nplan.n_pad):
+                # Bandable node block: one banded multi-RHS Thomas pass
+                # computes A⁻¹[B | bk] — O(nk·K²) instead of the dense
+                # factorization.
+                assemble = _schur_band_assembler(self.stamps, dtype, nplan)
+
+                def solve_batch(params_batch):
+                    W, Bm, C, D, bk, bb = jax.vmap(assemble)(params_batch)
+                    R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
+                    Y = pallas_band_solve_multi(W, R)
+                    YB = Y[..., :kbe]
+                    yb = Y[..., kbe]
+                    with jax.default_matmul_precision("highest"):
+                        S = D - C @ YB
+                        rhs_b = bb - (C @ yb[..., None])[..., 0]
+                        xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
+                        xk_band = yb - (YB @ xb[..., None])[..., 0]
+                    xk = nplan.unpermute(xk_band)
+                    return jnp.concatenate([xk, xb], axis=-1)
+
+                self._solve = jax.jit(solve_batch)
+                return
+
+            use_pallas = on_tpu_f32 and lu_fits_vmem(nk)
             if use_pallas:
                 plan = _schur_block_assembler(self.stamps, dtype,
                                               _pad(nk))
@@ -392,6 +518,28 @@ class BatchedSolver:
 
             return audit_band(jnp.asarray(params_batch),
                               jnp.asarray(solutions))
+
+        if self.method == "band":
+            from nodal_tpu.ops.band import band_matvec, band_plan
+
+            plan = band_plan(self.stamps)
+
+            @jax.jit
+            def audit_blockband(pb, xs):
+                W, b = jax.vmap(
+                    lambda p: plan.assemble(self.stamps, p,
+                                            dtype=jnp.float64)
+                )(pb)
+                # re-permute the natural-order solutions into band order
+                xp = jnp.zeros((xs.shape[0], plan.n_pad), xs.dtype)
+                xp = xp.at[:, jnp.asarray(plan.rank)].set(xs)
+                r = b - band_matvec(W, xp)
+                return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
+                    jnp.max(jnp.abs(b), axis=1), 1.0
+                )
+
+            return audit_blockband(jnp.asarray(params_batch),
+                                    jnp.asarray(solutions))
 
         @jax.jit
         def audit_dense(pb, xs):

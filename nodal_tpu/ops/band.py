@@ -1,0 +1,284 @@
+"""Banded (block-tridiagonal) direct solver: host planning + XLA reference.
+
+Most real circuits are *locally* connected — 2D meshes, buses, ladders
+with cross-ties — so after a bandwidth-minimizing reordering their MNA
+matrix has half-bandwidth w far below n.  The dense blocked LU
+(ops/block_lu.py, ops/pallas_block_lu.py) spends O(n³/3) MXU flops and
+4 MB/system of HBM traffic on a matrix that is ~99% structural zeros.
+
+This module reorders the system with reverse Cuthill-McKee (host-side,
+once per topology), stores it block-tridiagonally with 128×128 blocks
+(any half-bandwidth ≤ 128 fits), and solves with no-pivot block-Thomas:
+
+    S_0 = D_0
+    S_i = D_i − L_i S_{i-1}^{-1} U_{i-1}        (Schur recursion)
+    x via one forward + one backward block sweep
+
+Work drops from O(n³/3) to O(n·K²) and per-system memory from n² to
+3·K·n — at n=1024 that is ~2.7× fewer matmul passes and ~2.7× less HBM
+traffic than the full blocked LU.  The Schur recursion preserves diagonal
+dominance (same no-pivot stability domain as ops/block_lu.py: the block
+sequence here *is* the blocked-LU elimination restricted to the band).
+
+The reference stamps into scipy containers and calls SuperLU with no
+structure awareness (reference nodal.py:325,350); there is no banded or
+reordered path to port — this is the TPU-native replacement.
+
+Layout: ``W[b, B_r, r, c]`` holds block row ``B_r`` as the [K, 3K]
+concatenation ``[L | D | U]`` (columns ``(B_r−1)·K .. (B_r+2)·K`` of the
+reordered matrix).  :func:`band_thomas_solve` is the run-anywhere XLA
+implementation (used on CPU, for f64 refinement, and as the test oracle);
+ops/pallas_band.py holds the VMEM-resident TPU kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nodal_tpu.models.stamps import StampTensors, stamp_values
+
+_K = 128  # block size = MXU tile
+
+
+def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of the symmetrized sparsity graph.
+
+    Pure numpy (no scipy dependency in the compute path).  Returns
+    ``order`` with ``order[new] = old``; disconnected components are
+    traversed in min-degree order.  O(nnz log nnz) host work, done once
+    per topology and cached on the stamps.
+    """
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    # Symmetrize + dedup; drop the diagonal.
+    r = np.concatenate([rows, cols]).astype(np.int64)
+    c = np.concatenate([cols, rows]).astype(np.int64)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    key = r * n + c
+    key = np.unique(key)
+    r, c = key // n, key % n
+    # CSR-ish adjacency: neighbors of i are adj[ptr[i]:ptr[i+1]], sorted by
+    # (degree, id) so the BFS visits low-degree neighbors first (the CM
+    # heuristic).
+    degree = np.bincount(r, minlength=n)
+    order_by_deg = np.lexsort((c, degree[c], r))
+    r, c = r[order_by_deg], c[order_by_deg]
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(r, minlength=n), out=ptr[1:])
+
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    seeds = np.lexsort((np.arange(n), degree))  # min-degree component seeds
+    for seed in seeds:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        order[pos] = seed
+        head, pos = pos, pos + 1
+        while head < pos:  # BFS; `order` doubles as the queue
+            u = order[head]
+            head += 1
+            for v in c[ptr[u]:ptr[u + 1]]:
+                if not visited[v]:
+                    visited[v] = True
+                    order[pos] = v
+                    pos += 1
+    return order[::-1].copy()  # the "reverse" in RCM
+
+
+@dataclass
+class BandPlan:
+    """Host-side plan turning COO stamp entries into block-band storage.
+
+    Built once per (topology, unknown-subset) by :func:`make_band_plan`;
+    consumed by :meth:`assemble` inside jit/vmap (all arrays here are
+    compile-time constants).
+    """
+
+    n: int            # unknowns covered by this plan
+    n_pad: int        # n rounded up to a multiple of K
+    nb: int           # number of K-sized block rows
+    halfbw: int       # half-bandwidth after reordering
+    order: np.ndarray  # [n] order[new] = old
+    rank: np.ndarray   # [n] rank[old] = new
+    sel: np.ndarray    # stamp-entry indices included in this plan
+    g_flat: np.ndarray    # flat scatter targets into [n_pad * 3K]
+    rhs_sel: np.ndarray   # rhs-entry indices with row < n
+    rhs_perm_rows: np.ndarray  # permuted rhs rows
+    unit_flat: np.ndarray      # unit-diagonal flat targets for pad rows
+
+    def assemble(self, stamps: StampTensors, params, dtype=None):
+        """Band + RHS assembly for one parameter vector (jit/vmap-friendly).
+
+        Returns ``(W, b)``: ``W`` [nb, K, 3K] block-band storage, ``b``
+        [n_pad] reordered RHS.
+        """
+        params = jnp.asarray(params, dtype=dtype)
+        g_vals, rhs_vals = stamp_values(stamps, params)
+        flat = jnp.zeros(self.n_pad * 3 * _K, dtype=params.dtype)
+        flat = flat.at[self.g_flat].add(g_vals[self.sel])
+        if len(self.unit_flat):
+            flat = flat.at[self.unit_flat].add(1.0)
+        W = flat.reshape(self.nb, _K, 3 * _K)
+        b = jnp.zeros(self.n_pad, dtype=params.dtype)
+        b = b.at[self.rhs_perm_rows].add(rhs_vals[self.rhs_sel])
+        return W, b
+
+    def unpermute(self, x):
+        """Map a solution on the reordered unknowns back to natural order.
+
+        ``x`` is [..., n_pad] (or [..., n_pad, r]); returns [..., n] in the
+        original MNA numbering.
+        """
+        rank = jnp.asarray(self.rank)
+        if x.shape[-1] == self.n_pad:
+            return x[..., rank]
+        return jnp.take(x, rank, axis=-2)
+
+
+def make_band_plan(
+    stamps: StampTensors, n_limit: int | None = None
+) -> BandPlan | None:
+    """Band plan for the leading ``n_limit`` unknowns (default: all).
+
+    ``n_limit=stamps.n_kcl`` plans the resistive node block only — the
+    Schur branch-equation path solves that block banded and keeps the few
+    branch rows dense.  Returns None when the reordered half-bandwidth
+    exceeds K (the block-tridiagonal layout can't represent it).
+    """
+    n = stamps.n if n_limit is None else n_limit
+    if n == 0:
+        return None
+    if n_limit is None:
+        sel = np.arange(len(stamps.g_rows), dtype=np.int64)
+    else:
+        sel = np.nonzero((stamps.g_rows < n) & (stamps.g_cols < n))[0]
+    rows = stamps.g_rows[sel].astype(np.int64)
+    cols = stamps.g_cols[sel].astype(np.int64)
+    if len(rows) == 0:
+        return None
+    natural_bw = int(np.max(np.abs(rows - cols)))
+    order = rcm_order(n, rows, cols)
+    rank = np.argsort(order)
+    rcm_bw = int(np.max(np.abs(rank[rows] - rank[cols])))
+    if natural_bw <= rcm_bw:  # keep the netlist's own ordering if no worse
+        order = np.arange(n, dtype=np.int64)
+        rank = order
+        halfbw = natural_bw
+    else:
+        halfbw = rcm_bw
+    if halfbw > _K:
+        return None
+    n_pad = -(-n // _K) * _K
+    nb = n_pad // _K
+    pr, pc = rank[rows], rank[cols]
+    # Block-band flat index: row r', column c' lands in block B_r = r'//K at
+    # band column c' − (B_r − 1)·K ∈ [0, 3K)  (guaranteed by halfbw ≤ K).
+    g_flat = pr * (3 * _K) + (pc - (pr // _K) * _K + _K)
+    pad_rows = np.arange(n, n_pad, dtype=np.int64)
+    unit_flat = pad_rows * (3 * _K) + (pad_rows % _K) + _K
+    rhs_sel = np.nonzero(stamps.rhs_rows < n)[0]
+    rhs_perm_rows = rank[stamps.rhs_rows[rhs_sel].astype(np.int64)]
+    return BandPlan(
+        n=n, n_pad=n_pad, nb=nb, halfbw=halfbw,
+        order=order, rank=rank, sel=sel,
+        g_flat=g_flat.astype(np.int64),
+        rhs_sel=rhs_sel, rhs_perm_rows=rhs_perm_rows.astype(np.int64),
+        unit_flat=unit_flat,
+    )
+
+
+def band_plan(stamps: StampTensors) -> BandPlan | None:
+    """Cached full-system band plan (None if not bandable)."""
+    cached = getattr(stamps, "_band_plan", False)
+    if cached is False:
+        cached = make_band_plan(stamps)
+        stamps._band_plan = cached  # type: ignore[attr-defined]
+    return cached
+
+
+def node_band_plan(stamps: StampTensors) -> BandPlan | None:
+    """Cached band plan of the resistive node block (for the Schur path)."""
+    cached = getattr(stamps, "_node_band_plan", False)
+    if cached is False:
+        cached = make_band_plan(stamps, n_limit=stamps.n_kcl)
+        stamps._node_band_plan = cached  # type: ignore[attr-defined]
+    return cached
+
+
+def band_matvec(W, x):
+    """Block-band matvec ``y = W·x``: x [..., n_pad] -> y [..., n_pad].
+
+    One f64 pass of this is the residual audit / refinement workhorse —
+    O(n·K) instead of the dense O(n²).
+    """
+    nb = W.shape[-3]
+    xb = x.reshape(x.shape[:-1] + (nb, _K))
+    zeros = jnp.zeros_like(xb[..., :1, :])
+    x_lo = jnp.concatenate([zeros, xb[..., :-1, :]], axis=-2)
+    x_hi = jnp.concatenate([xb[..., 1:, :], zeros], axis=-2)
+    L = W[..., :, :_K]
+    D = W[..., :, _K:2 * _K]
+    U = W[..., :, 2 * _K:]
+    hp = jax.lax.Precision.HIGHEST
+    y = (
+        jnp.einsum("...ij,...j->...i", L, x_lo, precision=hp)
+        + jnp.einsum("...ij,...j->...i", D, xb, precision=hp)
+        + jnp.einsum("...ij,...j->...i", U, x_hi, precision=hp)
+    )
+    return y.reshape(x.shape)
+
+
+def band_thomas_solve(W, b):
+    """No-pivot block-Thomas solve — the run-anywhere XLA implementation.
+
+    ``W`` [..., nb, K, 3K], ``b`` [..., nb*K] (vector) or [..., nb*K, r]
+    (multi-RHS).  jit/vmap-friendly; any float dtype (this is also the f64
+    path).  Stability domain: diagonally dominant / SPD systems, like
+    ops.block_lu.  On TPU the Pallas kernel (ops/pallas_band.py) replaces
+    this with a VMEM-resident version.
+    """
+    nb = W.shape[-3]
+    vector_rhs = b.ndim == W.ndim - 2
+    if vector_rhs:
+        b = b[..., None]
+    r = b.shape[-1]
+    bb = b.reshape(b.shape[:-2] + (nb, _K, r))
+    # Scan axis must lead: [..., nb, K, c] -> [nb, ..., K, c].
+    lead = lambda t: jnp.moveaxis(t, -3, 0)  # noqa: E731
+    Ls = lead(W[..., :, :_K])
+    Ds = lead(W[..., :, _K:2 * _K])
+    Us = lead(W[..., :, 2 * _K:])
+    bs = lead(bb)
+
+    def fwd(carry, inp):
+        Cp, yp = carry
+        L, D, U, bi = inp
+        S = D - L @ Cp
+        rhs = bi - L @ yp
+        sol = jnp.linalg.solve(S, jnp.concatenate([U, rhs], axis=-1))
+        C = sol[..., :_K]
+        y = sol[..., _K:]
+        return (C, y), (C, y)
+
+    shape = W.shape[:-3]
+    dtype = b.dtype
+    C0 = jnp.zeros(shape + (_K, _K), dtype)
+    y0 = jnp.zeros(shape + (_K, r), dtype)
+    _, (Cs, ys) = jax.lax.scan(fwd, (C0, y0), (Ls, Ds, Us, bs))
+
+    def bwd(x_next, inp):
+        C, y = inp
+        x = y - C @ x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros_like(y0), (Cs, ys), reverse=True)
+    x = jnp.moveaxis(xs, 0, -3).reshape(b.shape)
+    return x[..., 0] if vector_rhs else x

@@ -1,0 +1,305 @@
+"""Pallas mega-kernel block-Thomas: banded batched solves, all in VMEM.
+
+TPU counterpart of ops/band.py's block-tridiagonal solver.  Each kernel
+instance DMAs ``T`` systems' band storage (3·K·n values instead of the
+full n² matrix) into VMEM and runs the whole Schur recursion + both block
+sweeps without touching HBM again — the banded analogue of
+ops/pallas_block_lu.py, with the same two TPU tricks:
+
+* **System interleaving**: the Schur recursion is a chain of *dependent*
+  128×128 matmuls (Newton-Schulz block inverses + couplings); ``T``
+  independent systems are emitted round-robin so the MXU pipeline stays
+  full instead of stalling on every link.
+* **Lane-replicated RHS**: [K, 128] RHS mats keep every sweep op
+  MXU-shaped; column 0 comes back via a one-hot contraction.
+
+Versus the full blocked-LU kernel at n=1024 this removes the
+Schur-complement panel updates (the fp32-HIGHEST-heavy part — ~840 of
+~1600 matmul passes) and cuts the HBM read from 4 MB to 1.5 MB per
+system.  Stability domain identical to ops/block_lu.py (no pivoting:
+diagonally dominant / SPD; the block recursion IS the blocked-LU
+elimination restricted to the band).
+
+The reference has no banded or structure-aware solver at all (it calls
+dense LAPACK / SuperLU, reference nodal.py:325-327); this kernel is the
+TPU-native replacement for those calls on locally-connected circuits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nodal_tpu.ops.pallas_block_lu import (
+    _interpret,
+    _mm,
+    _ns_inverse_many,
+    _x32_scope,
+)
+
+_K = 128  # block size = MXU tile
+
+#: Band storage 1.5 KB/row + C/y state 1 KB/row, times T systems, must sit
+#: under the ~100 MB scoped-VMEM budget with transients.
+_MAX_N = 2048
+
+#: Newton-Schulz iterations for the per-block inverses.  The band path's
+#: Schur blocks are *barely* diagonally dominant (interior grid Laplacian
+#: rows sum to ~0, Jacobi spectral radius ~0.999), so the quadratic phase
+#: starts late: measured on the 25x40 mesh at n=1000, rel err vs f64 is
+#: 6.4e-2 at 12 iters (tail 2) but 2.7e-6 at 16 (tail 4) on the real MXU.
+_NEWTON_ITERS = 16
+
+#: fp32 closing iterations of the Newton-Schulz phase.  The band path's
+#: weakly-dominant blocks stall the bf16 phase before its usual ~1e-2
+#: floor, so it needs more than 2 closers (measured on the 25x40 mesh,
+#: real v5e, after pinning HIGHEST on the data-movement dot_generals:
+#: (12 iters, tail 2) -> 6.4e-2 rel err; (14, 4) -> 4.7e-5;
+#: (16, 4) -> 2.7e-6 = the f32 solve floor, at 20.2k solves/s kernel-only).
+_FP32_TAIL = 4
+
+
+def _pick_T(nb: int, multi: bool) -> int:
+    """Systems interleaved per kernel instance.
+
+    Deeper interleave keeps the MXU pipeline fuller (measured at n=1000:
+    T=8 -> 22.0k, T=16 -> 23.7k solves/s) but VMEM caps it: each system
+    carries ~n·2.6 KB of band + recursion state, and the multi-RHS kernel
+    adds n·1 KB of R/X blocks (T=16 at n=1024 multi overflows the 100 MB
+    scoped budget — measured)."""
+    n = nb * _K
+    if multi:
+        return 16 if n <= 512 else 8
+    return 16 if n <= 1024 else 8
+
+
+def band_fits_vmem(n: int) -> bool:
+    """Whether the VMEM block-Thomas kernel supports n unknowns."""
+    return -(-n // _K) * _K <= _MAX_N
+
+
+def _unit_band(nb: int) -> jnp.ndarray:
+    """[nb, K, 3K] band of the identity (batch-padding systems)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, _K, 3 * _K), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, _K, 3 * _K), 2)
+    return (cols == rows + _K).astype(jnp.float32)
+
+
+def _thomas_many(Ws, rhs_of, nb: int, iters: int, fp32_tail: int):
+    """Interleaved block-Thomas over T band refs.
+
+    ``Ws[j]`` is a [n, 3K] VMEM ref (rows of system j's band);
+    ``rhs_of(j, t)`` yields block t's [K, R] RHS mat.  Returns per-system
+    lists of x blocks ([K, R]), natural block order.
+    """
+    T = len(Ws)
+    C_hist = [[None] * nb for _ in range(T)]
+    y_hist = [[None] * nb for _ in range(T)]
+    Cp = [None] * T
+    yp = [None] * T
+    for t in range(nb):
+        lo, hi = t * _K, (t + 1) * _K
+        Ds, bs = [], []
+        for j in range(T):
+            D = Ws[j][lo:hi, _K:2 * _K]
+            bm = rhs_of(j, t)
+            if t > 0:
+                L = Ws[j][lo:hi, 0:_K]
+                D = D - _mm(L, Cp[j])
+                bm = bm - _mm(L, yp[j])
+            Ds.append(D)
+            bs.append(bm)
+        Xs = _ns_inverse_many(Ds, iters, fp32_tail)
+        for j in range(T):
+            y = _mm(Xs[j], bs[j])
+            y_hist[j][t] = y
+            yp[j] = y
+            if t < nb - 1:
+                C = _mm(Xs[j], Ws[j][lo:hi, 2 * _K:3 * _K])
+                C_hist[j][t] = C
+                Cp[j] = C
+    xs = [[None] * nb for _ in range(T)]
+    for j in range(T):
+        xs[j][nb - 1] = y_hist[j][nb - 1]
+    for t in range(nb - 2, -1, -1):
+        for j in range(T):
+            xs[j][t] = y_hist[j][t] - _mm(C_hist[j][t], xs[j][t + 1])
+    return xs
+
+
+def _make_kernel(nb: int, iters: int, tail: int, T: int):
+    n = nb * _K
+
+    def kernel(w_hbm, b_ref, out_ref, W, sem):
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * T, T)
+        cp = pltpu.make_async_copy(w_hbm.at[pl.ds(start, T)], W, sem)
+        cp.start()
+        cp.wait()
+        Ws = [W.at[j] for j in range(T)]
+        ones = jnp.ones((1, _K), dtype=jnp.float32)
+        e0 = (jax.lax.broadcasted_iota(jnp.int32, (1, _K), 1) == 0).astype(
+            jnp.float32
+        )
+
+        def rhs_of(j, t):
+            # b rows [1, K] -> lane-replicated [K, 128] via outer product.
+            return jax.lax.dot_general(
+                b_ref[0, j:j + 1, t * _K:(t + 1) * _K], ones,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        xs = _thomas_many(Ws, rhs_of, nb, iters, tail)
+        for j in range(T):
+            xfull = jnp.concatenate(xs[j], axis=0)  # [n, 128]
+            out_ref[0, j] = jax.lax.dot_general(
+                e0, xfull, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )[0]
+
+    return kernel, n
+
+
+def _make_multi_kernel(nb: int, iters: int, tail: int, T: int):
+    n = nb * _K
+
+    def kernel(w_hbm, r_ref, out_ref, W, sem):
+        i = pl.program_id(0)
+        start = pl.multiple_of(i * T, T)
+        cp = pltpu.make_async_copy(w_hbm.at[pl.ds(start, T)], W, sem)
+        cp.start()
+        cp.wait()
+        Ws = [W.at[j] for j in range(T)]
+
+        def rhs_of(j, t):
+            return r_ref[j, t * _K:(t + 1) * _K, :]
+
+        xs = _thomas_many(Ws, rhs_of, nb, iters, tail)
+        for j in range(T):
+            out_ref[j] = jnp.concatenate(xs[j], axis=0)
+
+    return kernel, n
+
+
+def _pad_batch(W, extra, pad: int):
+    """Append ``pad`` well-conditioned identity systems."""
+    nb = W.shape[1]
+    unit = jnp.broadcast_to(_unit_band(nb), (pad,) + W.shape[1:])
+    return jnp.concatenate([W, unit], axis=0), jnp.concatenate(
+        [extra, jnp.zeros((pad,) + extra.shape[1:], extra.dtype)], axis=0
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("newton_iters", "fp32_tail", "n_valid"))
+def pallas_band_solve(W, b, *, newton_iters: int = _NEWTON_ITERS,
+                      fp32_tail: int = _FP32_TAIL,
+                      n_valid: int | None = None):
+    """Batched banded solve: ``W`` [B, nb, K, 3K] block-band storage
+    (ops.band.BandPlan.assemble), ``b`` [B, nb·K] -> x [B, nb·K] (f32).
+
+    ``n_valid`` trims the padded tail from the result (the plan pads rows
+    to a 128 multiple with a unit diagonal).
+    """
+    B_in, nb, kb, kb3 = W.shape
+    if kb != _K or kb3 != 3 * _K:
+        raise ValueError(f"band blocks must be [{_K}, {3 * _K}], got {W.shape}")
+    n = nb * _K
+    if n > _MAX_N:
+        raise ValueError(
+            f"pallas_band_solve supports n <= {_MAX_N} (VMEM budget); got "
+            f"{n} — use ops.band.band_thomas_solve"
+        )
+    W = W.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    T = _pick_T(nb, multi=False)
+    B = -(-B_in // T) * T
+    if B != B_in:
+        W, b = _pad_batch(W, b, B - B_in)
+
+    kernel, _ = _make_kernel(nb, newton_iters, fp32_tail, T)
+    with _x32_scope():
+        x = pl.pallas_call(
+            kernel,
+            grid=(B // T,),
+            out_shape=jax.ShapeDtypeStruct((B // T, T, n), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # band stays in HBM
+                pl.BlockSpec((1, T, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, T, n), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((T, n, 3 * _K), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(W.reshape(B, n, 3 * _K), b.reshape(B // T, T, n))
+    out_n = n_valid if n_valid is not None else n
+    return x.reshape(B, n)[:B_in, :out_n]
+
+
+@functools.partial(jax.jit, static_argnames=("newton_iters", "fp32_tail"))
+def pallas_band_solve_multi(W, R, *, newton_iters: int = _NEWTON_ITERS,
+                            fp32_tail: int = _FP32_TAIL):
+    """Batched banded MULTI-RHS solve: ``W`` [B, nb, K, 3K],
+    ``R`` [B, nb·K, r] with r <= 128 -> X [B, nb·K, r] (f32).
+
+    The RHS lanes carry up to 128 distinct right-hand sides — one banded
+    Thomas pass solves a whole Schur-complement column block
+    ``A⁻¹ [B | b]`` (batch.BatchedSolver's branch-equation path).
+    """
+    B_in, nb, kb, kb3 = W.shape
+    if kb != _K or kb3 != 3 * _K:
+        raise ValueError(f"band blocks must be [{_K}, {3 * _K}], got {W.shape}")
+    n = nb * _K
+    r_in = R.shape[-1]
+    if n > _MAX_N:
+        raise ValueError(
+            f"pallas_band_solve_multi supports n <= {_MAX_N}; got {n}"
+        )
+    if r_in > _K:
+        raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
+    W = W.astype(jnp.float32)
+    R = R.astype(jnp.float32)
+    if r_in != _K:
+        R = jnp.pad(R, [(0, 0), (0, 0), (0, _K - r_in)])
+    T = _pick_T(nb, multi=True)
+    B = -(-B_in // T) * T
+    if B != B_in:
+        W, R = _pad_batch(W, R, B - B_in)
+
+    kernel, _ = _make_multi_kernel(nb, newton_iters, fp32_tail, T)
+    with _x32_scope():
+        x = pl.pallas_call(
+            kernel,
+            grid=(B // T,),
+            out_shape=jax.ShapeDtypeStruct((B, n, _K), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((T, n, _K), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, n, _K), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((T, n, 3 * _K), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(W.reshape(B, n, 3 * _K), R)
+    return x[:B_in, :, :r_in]

@@ -79,15 +79,21 @@ def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
                    precision=precision)
 
 
-def _ns_inverse_many(Ds, iters: int):
+def _ns_inverse_many(Ds, iters: int, fp32_tail: int = 2):
     """Interleaved Newton-Schulz inverses of T [K, K] diagonally dominant
     blocks, Jacobi start (block_lu._inv_block rationale).  The T chains
     are independent — emitting them round-robin keeps the MXU pipeline
     full where a single chain would stall on every dependency.
 
     Mixed passes: Newton is self-correcting (error squares each step), so
-    all but the last two iterations run at single-pass bf16 matmul speed;
-    the two fp32 closers square the ~1e-2 bf16 tail down to the f32 floor.
+    all but the last ``fp32_tail`` iterations run at single-pass bf16
+    matmul speed; the fp32 closers square the bf16-phase tail down to the
+    f32 floor.  Weakly dominant blocks (Jacobi spectral radius ~1-1e-4,
+    e.g. Schur blocks of barely-grounded mesh Laplacians) stall the bf16
+    phase around e~0.1 rather than its usual ~1e-2 floor, so they need
+    more closers: measured on the real v5e MXU for the band path's 25x40
+    mesh (interpret mode does not model bf16 and shows none of this),
+    (iters=12, tail=2) leaves 6.4e-2 rel err, (16, 4) reaches 2.7e-6.
     """
     I = _eye(_K, Ds[0].dtype)
     I2 = 2.0 * I
@@ -96,14 +102,14 @@ def _ns_inverse_many(Ds, iters: int):
         d = jnp.sum(D * I, axis=1, keepdims=True)  # [K, 1] diagonal
         Xs.append(I * (1.0 / d))
     for it in range(iters):
-        prec = (jax.lax.Precision.HIGHEST if it >= iters - 2
+        prec = (jax.lax.Precision.HIGHEST if it >= iters - fp32_tail
                 else jax.lax.Precision.DEFAULT)
         Ts = [_mm(D, X, prec) for D, X in zip(Ds, Xs)]
         Xs = [_mm(X, I2 - T, prec) for X, T in zip(Xs, Ts)]
     return Xs
 
 
-def _factor_inplace_many(As, n: int, iters: int):
+def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int = 2):
     """Right-looking no-pivot blocked LU on T VMEM matrix refs, panel
     steps interleaved across systems.
 
@@ -112,7 +118,8 @@ def _factor_inplace_many(As, n: int, iters: int):
     nb = n // _K
     for t in range(nb):
         lo, hi = t * _K, (t + 1) * _K
-        Xs = _ns_inverse_many([A[lo:hi, lo:hi] for A in As], iters)
+        Xs = _ns_inverse_many([A[lo:hi, lo:hi] for A in As], iters,
+                              fp32_tail)
         for A, X in zip(As, Xs):
             A[lo:hi, lo:hi] = X
         if t < nb - 1:
@@ -149,7 +156,7 @@ def _solve_packed_many(As, rhss, n: int):
     return [jnp.concatenate(x, axis=0) for x in xs]
 
 
-def _make_kernel(n: int, iters: int):
+def _make_kernel(n: int, iters: int, fp32_tail: int):
     def kernel(g_hbm, b_ref, out_ref, A, sem):
         i = pl.program_id(0)
         start = pl.multiple_of(i * _T, _T)
@@ -167,11 +174,12 @@ def _make_kernel(n: int, iters: int):
             jax.lax.dot_general(
                 b_ref[0, j:j + 1, :], ones, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             for j in range(_T)
         ]
 
-        _factor_inplace_many(As, n, iters)
+        _factor_inplace_many(As, n, iters, fp32_tail)
         x_mats = _solve_packed_many(As, b_mats, n)
 
         # Column 0 back to [1, n] rows: contract the lane axis with a
@@ -180,12 +188,13 @@ def _make_kernel(n: int, iters: int):
             out_ref[0, j] = jax.lax.dot_general(
                 e0, x_mats[j], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )[0]
 
     return kernel
 
 
-def _make_multi_kernel(n: int, iters: int):
+def _make_multi_kernel(n: int, iters: int, fp32_tail: int):
     def kernel(g_hbm, r_ref, out_ref, A, sem):
         i = pl.program_id(0)
         start = pl.multiple_of(i * _T, _T)
@@ -194,7 +203,7 @@ def _make_multi_kernel(n: int, iters: int):
         cp.wait()
         As = [A.at[j] for j in range(_T)]
         rhs_mats = [r_ref[j] for j in range(_T)]
-        _factor_inplace_many(As, n, iters)
+        _factor_inplace_many(As, n, iters, fp32_tail)
         x_mats = _solve_packed_many(As, rhs_mats, n)
         for j in range(_T):
             out_ref[j] = x_mats[j]
@@ -202,8 +211,9 @@ def _make_multi_kernel(n: int, iters: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("newton_iters",))
-def pallas_lu_solve_multi(G, R, *, newton_iters: int = 12):
+@functools.partial(jax.jit, static_argnames=("newton_iters", "fp32_tail"))
+def pallas_lu_solve_multi(G, R, *, newton_iters: int = 12,
+                          fp32_tail: int = 2):
     """Batched dense no-pivot MULTI-RHS solve: ``G`` [B, n, n],
     ``R`` [B, n, r] with r <= 128 -> X [B, n, r].
 
@@ -238,7 +248,7 @@ def pallas_lu_solve_multi(G, R, *, newton_iters: int = 12):
 
     with _x32_scope():
         x = pl.pallas_call(
-            _make_multi_kernel(n, newton_iters),
+            _make_multi_kernel(n, newton_iters, fp32_tail),
             grid=(B // _T,),
             out_shape=jax.ShapeDtypeStruct((B, n, _K), jnp.float32),
             in_specs=[
@@ -260,8 +270,9 @@ def pallas_lu_solve_multi(G, R, *, newton_iters: int = 12):
     return x[:B_in, :, :r_in]
 
 
-@functools.partial(jax.jit, static_argnames=("newton_iters", "n_valid"))
-def pallas_lu_solve(G, b, *, newton_iters: int = 12,
+@functools.partial(jax.jit,
+                   static_argnames=("newton_iters", "fp32_tail", "n_valid"))
+def pallas_lu_solve(G, b, *, newton_iters: int = 12, fp32_tail: int = 2,
                     n_valid: int | None = None):
     """Batched dense no-pivot solve, ``_T`` VMEM-resident systems per
     kernel instance.  ``G`` [B, n, n], ``b`` [B, n] (f32) -> x [B, n].
@@ -303,7 +314,7 @@ def pallas_lu_solve(G, b, *, newton_iters: int = 12,
         # two dims equal the array's own trailing dims (full-dimension
         # blocks are exempt from Mosaic's (8, 128) divisibility rule).
         x = pl.pallas_call(
-            _make_kernel(n, newton_iters),
+            _make_kernel(n, newton_iters, fp32_tail),
             grid=(B // _T,),
             out_shape=jax.ShapeDtypeStruct((B // _T, _T, n), jnp.float32),
             in_specs=[

@@ -142,6 +142,53 @@ def test_pallas_lu_multi_rhs_mosaic():
     assert np.max(np.abs(X - exp)) / np.max(np.abs(exp)) < 1e-3
 
 
+def test_pallas_band_mosaic_end_to_end():
+    # The banded block-Thomas mega-kernel through BatchedSolver (RCM
+    # reorder + band assembly + VMEM kernel + un-permute in one jit).
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    rows = list(grid_rows(9, 40, (0, 0), (8, 39)))
+    rows.append(["src", "A", "1", "n1_1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    solver = BatchedSolver(circuit, dtype=jnp.float32)
+    assert solver.method == "band"
+    batch = np.tile(circuit.stamps.params.astype(np.float32), (32, 1))
+    xs = solver(batch)
+    res = np.asarray(solver.residuals(batch, np.asarray(xs)))
+    assert np.max(res) < 1e-4
+
+
+def test_pallas_band_multi_rhs_mosaic():
+    from nodal_tpu.ops.pallas_band import pallas_band_solve_multi
+    from nodal_tpu.ops.band import _K
+
+    rng = np.random.default_rng(4)
+    B, nb, r = 8, 3, 5
+    n = nb * _K
+    # random diagonally dominant block-tridiagonal band
+    W = rng.standard_normal((B, nb, _K, 3 * _K)).astype(np.float32) * 0.1
+    W[:, 0, :, :_K] = 0.0
+    W[:, -1, :, 2 * _K:] = 0.0
+    rowsum = np.abs(W).sum(-1)
+    idx = np.arange(_K)
+    W[:, :, idx, _K + idx] = rowsum[:, :, idx] + 1.0
+    R = rng.standard_normal((B, n, r)).astype(np.float32)
+    X = np.asarray(pallas_band_solve_multi(jnp.asarray(W), jnp.asarray(R)))
+    # Host-side f64 reference (no CPU jax backend in the pinned-TPU run;
+    # f64 LuDecomposition is unsupported on TPU): densify the band.
+    A = np.zeros((B, n, n))
+    for t in range(nb):
+        lo = (t - 1) * _K
+        for c in range(3 * _K):
+            j = lo + c
+            if 0 <= j < n:
+                A[:, t * _K:(t + 1) * _K, j] = W[:, t, :, c]
+    exp = np.linalg.solve(A, R.astype(np.float64))
+    assert np.max(np.abs(X - exp)) / np.max(np.abs(exp)) < 1e-3
+
+
 def test_batched_tridiag_solver_end_to_end():
     # The bench fast path: band assembly + VMEM PCR under one jit.
     from nodal_tpu import Circuit, Netlist
