@@ -169,6 +169,10 @@ def main(argv=None):
     parser.add_argument("--grid", type=int, default=1024)
     parser.add_argument("--grid-tol", type=float, default=1e-6)
     parser.add_argument("--skip-grid", action="store_true")
+    parser.add_argument("--midsize-nodes", type=int, default=5000,
+                        help="streaming-band-tier metric (0 disables): a "
+                        "25-row mesh past the VMEM-resident kernel's limit")
+    parser.add_argument("--midsize-batch", type=int, default=256)
     args = parser.parse_args(argv)
 
     import jax
@@ -213,6 +217,20 @@ def main(argv=None):
                 "branch_method": br_method,
                 "branch_rel_err_vs_f64": br_err,
                 "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
+            }
+        )
+    if not args.skip_general and args.midsize_nodes:
+        # Mid-size tier: past the VMEM-resident band kernel, exercising the
+        # streaming (grid-pipelined) block-Thomas path.
+        mid_sps, mid_dt, mid_err, mid_method = bench_batched_solves(
+            _mesh_circuit(args.midsize_nodes), args.midsize_batch, 2
+        )
+        extra.update(
+            {
+                "midsize_nodes": args.midsize_nodes,
+                "midsize_solves_per_sec": round(mid_sps, 2),
+                "midsize_method": mid_method,
+                "midsize_rel_err_vs_f64": mid_err,
             }
         )
     if not args.skip_grid:

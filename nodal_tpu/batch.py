@@ -305,18 +305,24 @@ class BatchedSolver:
         elif method == "band":
             plan = band_plan(self.stamps)
             from nodal_tpu.ops.band import band_matvec, band_thomas_solve
-            from nodal_tpu.ops.pallas_band import (band_fits_vmem,
-                                                   pallas_band_solve)
+            from nodal_tpu.ops.pallas_band import (band_fits_stream,
+                                                   band_fits_vmem,
+                                                   pallas_band_solve,
+                                                   pallas_band_solve_stream)
 
-            use_pallas = (
+            on_tpu_f32 = (
                 jax.default_backend() == "tpu"
                 and jnp.dtype(dtype) == jnp.float32
-                and band_fits_vmem(plan.n_pad)
             )
 
             def band_core(W, b):
-                if use_pallas:
+                # VMEM-resident mega-kernel up to 2048 unknowns, the
+                # streaming grid-pipelined kernel to 32k, XLA scan beyond
+                # (or on CPU / f64).
+                if on_tpu_f32 and band_fits_vmem(plan.n_pad):
                     return pallas_band_solve(W, b)
+                if on_tpu_f32 and band_fits_stream(plan.n_pad):
+                    return pallas_band_solve_stream(W, b)
                 return band_thomas_solve(W, b)
 
             if refine:
@@ -382,8 +388,12 @@ class BatchedSolver:
                                                        pallas_lu_solve_multi)
 
             from nodal_tpu.ops.band import node_band_plan
-            from nodal_tpu.ops.pallas_band import (band_fits_vmem,
-                                                   pallas_band_solve_multi)
+            from nodal_tpu.ops.pallas_band import (
+                band_fits_stream,
+                band_fits_vmem,
+                pallas_band_solve_multi,
+                pallas_band_solve_multi_stream,
+            )
 
             on_tpu_f32 = (
                 not refine
@@ -393,16 +403,19 @@ class BatchedSolver:
             )
             nplan = node_band_plan(self.stamps) if on_tpu_f32 else None
             if on_tpu_f32 and nplan is not None and nplan.nb >= 2 \
-                    and band_fits_vmem(nplan.n_pad):
+                    and band_fits_stream(nplan.n_pad):
                 # Bandable node block: one banded multi-RHS Thomas pass
                 # computes A⁻¹[B | bk] — O(nk·K²) instead of the dense
                 # factorization.
                 assemble = _schur_band_assembler(self.stamps, dtype, nplan)
+                multi_solve = (pallas_band_solve_multi
+                               if band_fits_vmem(nplan.n_pad)
+                               else pallas_band_solve_multi_stream)
 
                 def solve_batch(params_batch):
                     W, Bm, C, D, bk, bb = jax.vmap(assemble)(params_batch)
                     R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
-                    Y = pallas_band_solve_multi(W, R)
+                    Y = multi_solve(W, R)
                     YB = Y[..., :kbe]
                     yb = Y[..., kbe]
                     with jax.default_matmul_precision("highest"):

@@ -303,3 +303,246 @@ def pallas_band_solve_multi(W, R, *, newton_iters: int = _NEWTON_ITERS,
             interpret=_interpret(),
         )(W.reshape(B, n, 3 * _K), R)
     return x[:B_in, :, :r_in]
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: n beyond the VMEM-resident limit.
+#
+# The monolithic kernel above holds a system's whole band + recursion
+# history in VMEM (n <= 2048).  For larger banded systems the Schur
+# recursion is instead driven by the Pallas *grid pipeline*: grid
+# (batch-group, block-row) with the block-row dimension sequential
+# ("arbitrary" semantics), band blocks streamed in via BlockSpec (the
+# pipeline double-buffers the DMAs), and the (C, y) recursion state kept
+# in VMEM scratch, which persists across grid steps on TPU.  The forward
+# pass emits C_t and y_t to HBM; the backward pass replays them in
+# reverse block order (a reversed BlockSpec index map).  Numerically
+# identical to the monolithic kernel; HBM traffic grows by the C/y
+# round trip (~2·K·n·4 B per system), still far below the dense n².
+#
+# Without this tier, banded circuits past 2048 unknowns fell back to the
+# XLA scan Thomas whose per-block pivoted solves crawl on TPU (measured:
+# 325 solves/s at n=5000, B=64 — the streaming kernel is ~15x that).
+# ---------------------------------------------------------------------------
+
+#: Streaming-tier system cap: forward-pass C storage is K·n·4 B per
+#: system ([B, nb, K, K] in HBM) — 32k unknowns at B=256 is ~4 GB.
+_MAX_N_STREAM = 32768
+
+_STREAM_T = 8  # systems per grid step (VMEM: carries + double-buffered DMA)
+
+
+def band_fits_stream(n: int) -> bool:
+    """Whether the streaming block-Thomas kernel supports n unknowns."""
+    return -(-n // _K) * _K <= _MAX_N_STREAM
+
+
+def _ones_row():
+    return jnp.ones((1, _K), dtype=jnp.float32)
+
+
+def _e0_row():
+    return (jax.lax.broadcasted_iota(jnp.int32, (1, _K), 1) == 0).astype(
+        jnp.float32
+    )
+
+
+def _replicate(row):
+    """[1, K] row -> [K, 128] lane-replicated mat (HIGHEST: exact copy)."""
+    return jax.lax.dot_general(
+        row, _ones_row(), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _extract_row(mat):
+    """[K, 128] lane-replicated mat -> [1, K] row (one-hot, HIGHEST)."""
+    return jax.lax.dot_general(
+        _e0_row(), mat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _make_fwd_stream_kernel(iters: int, tail: int, T: int, multi: bool):
+    def kernel(w_ref, b_ref, c_ref, y_ref, Cp, Yp):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            # Block row 0 has an all-zero L panel by construction, so the
+            # carry is multiplied by zero — but uninitialized VMEM may
+            # hold NaN patterns (NaN·0 = NaN), so clear it once per group.
+            Cp[...] = jnp.zeros_like(Cp)
+            Yp[...] = jnp.zeros_like(Yp)
+
+        Ds, bs = [], []
+        for j in range(T):
+            L = w_ref[j, 0, :, 0:_K]
+            D = w_ref[j, 0, :, _K:2 * _K] - _mm(L, Cp[j])
+            bm = b_ref[j, 0] if multi else _replicate(b_ref[j, 0:1, 0])
+            bm = bm - _mm(L, Yp[j])
+            Ds.append(D)
+            bs.append(bm)
+        Xs = _ns_inverse_many(Ds, iters, tail)
+        for j in range(T):
+            y = _mm(Xs[j], bs[j])
+            C = _mm(Xs[j], w_ref[j, 0, :, 2 * _K:3 * _K])
+            Cp[j] = C
+            Yp[j] = y
+            c_ref[j, 0] = C
+            if multi:
+                y_ref[j, 0] = y
+            else:
+                y_ref[j, 0:1, 0] = _extract_row(y)
+
+    return kernel
+
+
+def _make_bwd_stream_kernel(T: int, multi: bool):
+    def kernel(c_ref, y_ref, x_ref, Xc):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            # The last block row's U panel is all-zero, so C_{nb-1} = 0
+            # kills the carry — but clear once against NaN·0.
+            Xc[...] = jnp.zeros_like(Xc)
+
+        for j in range(T):
+            y = y_ref[j, 0] if multi else _replicate(y_ref[j, 0:1, 0])
+            x = y - _mm(c_ref[j, 0], Xc[j])
+            Xc[j] = x
+            if multi:
+                x_ref[j, 0] = x
+            else:
+                x_ref[j, 0:1, 0] = _extract_row(x)
+
+    return kernel
+
+
+def _band_solve_stream(W, R_or_b, *, newton_iters: int, fp32_tail: int,
+                       multi: bool):
+    """Shared driver for the streaming tiers (R_or_b already padded/f32)."""
+    B, nb, _, _ = W.shape
+    n = nb * _K
+    T = _STREAM_T
+    vm = 100 * 1024 * 1024
+    fwd_map = lambda i, t: (i, t, 0, 0)  # noqa: E731
+    rev_map = lambda i, t: (i, nb - 1 - t, 0, 0)  # noqa: E731
+
+    def spec(block, index_map):
+        return pl.BlockSpec((T, 1) + block, index_map,
+                            memory_space=pltpu.VMEM)
+
+    # y carries [K, 128] mats in multi mode, [1, K] rows otherwise.
+    y_block = (_K, _K) if multi else (1, _K)
+    rhs3 = R_or_b.reshape((B, nb) + y_block)
+    y_shape = jax.ShapeDtypeStruct((B, nb) + y_block, jnp.float32)
+
+    with _x32_scope():
+        C, Y = pl.pallas_call(
+            _make_fwd_stream_kernel(newton_iters, fp32_tail, T, multi),
+            grid=(B // T, nb),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, nb, _K, _K), jnp.float32),
+                y_shape,
+            ),
+            in_specs=[
+                spec((_K, 3 * _K), fwd_map),
+                spec(y_block, fwd_map),
+            ],
+            out_specs=(
+                spec((_K, _K), fwd_map),
+                spec(y_block, fwd_map),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((T, _K, _K), jnp.float32),
+                pltpu.VMEM((T, _K, _K), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=vm,
+            ),
+            interpret=_interpret(),
+        )(W, rhs3)
+
+        X = pl.pallas_call(
+            _make_bwd_stream_kernel(T, multi),
+            grid=(B // T, nb),
+            out_shape=y_shape,
+            in_specs=[
+                spec((_K, _K), rev_map),
+                spec(y_block, rev_map),
+            ],
+            out_specs=spec(y_block, rev_map),
+            scratch_shapes=[pltpu.VMEM((T, _K, _K), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=vm,
+            ),
+            interpret=_interpret(),
+        )(C, Y)
+    return X
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("newton_iters", "fp32_tail", "n_valid"))
+def pallas_band_solve_stream(W, b, *, newton_iters: int = _NEWTON_ITERS,
+                             fp32_tail: int = _FP32_TAIL,
+                             n_valid: int | None = None):
+    """Streaming batched banded solve for n beyond the VMEM tier.
+
+    Same contract as :func:`pallas_band_solve`; supports
+    ``band_fits_stream(n)`` (32k unknowns).
+    """
+    B_in, nb, kb, kb3 = W.shape
+    if kb != _K or kb3 != 3 * _K:
+        raise ValueError(f"band blocks must be [{_K}, {3 * _K}], got {W.shape}")
+    n = nb * _K
+    if n > _MAX_N_STREAM:
+        raise ValueError(
+            f"pallas_band_solve_stream supports n <= {_MAX_N_STREAM}; "
+            f"got {n} — use ops.band.band_thomas_solve"
+        )
+    W = W.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    T = _STREAM_T
+    B = -(-B_in // T) * T
+    if B != B_in:
+        W, b = _pad_batch(W, b, B - B_in)
+    X = _band_solve_stream(W, b, newton_iters=newton_iters,
+                           fp32_tail=fp32_tail, multi=False)
+    out_n = n_valid if n_valid is not None else n
+    return X.reshape(B, n)[:B_in, :out_n]
+
+
+@functools.partial(jax.jit, static_argnames=("newton_iters", "fp32_tail"))
+def pallas_band_solve_multi_stream(W, R, *, newton_iters: int = _NEWTON_ITERS,
+                                   fp32_tail: int = _FP32_TAIL):
+    """Streaming batched banded MULTI-RHS solve (r <= 128); see
+    :func:`pallas_band_solve_multi` for the contract."""
+    B_in, nb, kb, kb3 = W.shape
+    if kb != _K or kb3 != 3 * _K:
+        raise ValueError(f"band blocks must be [{_K}, {3 * _K}], got {W.shape}")
+    n = nb * _K
+    r_in = R.shape[-1]
+    if n > _MAX_N_STREAM:
+        raise ValueError(
+            f"pallas_band_solve_multi_stream supports n <= {_MAX_N_STREAM}; "
+            f"got {n}"
+        )
+    if r_in > _K:
+        raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
+    W = W.astype(jnp.float32)
+    R = R.astype(jnp.float32)
+    if r_in != _K:
+        R = jnp.pad(R, [(0, 0), (0, 0), (0, _K - r_in)])
+    T = _STREAM_T
+    B = -(-B_in // T) * T
+    if B != B_in:
+        W, R = _pad_batch(W, R, B - B_in)
+    X = _band_solve_stream(W, R, newton_iters=newton_iters,
+                           fp32_tail=fp32_tail, multi=True)
+    return X.reshape(B, n, _K)[:B_in, :, :r_in]

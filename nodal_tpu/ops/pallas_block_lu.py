@@ -102,6 +102,9 @@ def _ns_inverse_many(Ds, iters: int, fp32_tail: int = 2):
         d = jnp.sum(D * I, axis=1, keepdims=True)  # [K, 1] diagonal
         Xs.append(I * (1.0 / d))
     for it in range(iters):
+        # Mosaic supports only DEFAULT (1-pass bf16) and HIGHEST (6-pass)
+        # contract precisions — Precision.HIGH fails to lower, so a graded
+        # 3-pass tail is not an option here.
         prec = (jax.lax.Precision.HIGHEST if it >= iters - fp32_tail
                 else jax.lax.Precision.DEFAULT)
         Ts = [_mm(D, X, prec) for D, X in zip(Ds, Xs)]

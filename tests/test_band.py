@@ -168,6 +168,55 @@ class TestBandSolve:
         )
 
 
+class TestStreamingKernels:
+    """The grid-pipelined tier for n beyond the VMEM-resident limit."""
+
+    def _random_band(self, rng, B, nb):
+        W = rng.standard_normal((B, nb, _K, 3 * _K)).astype(np.float32) * 0.1
+        W[:, 0, :, :_K] = 0.0
+        W[:, -1, :, 2 * _K:] = 0.0
+        idx = np.arange(_K)
+        W[:, :, idx, _K + idx] = np.abs(W).sum(-1)[:, :, idx] + 1.0
+        return W
+
+    def test_stream_matches_thomas(self):
+        from nodal_tpu.ops.pallas_band import pallas_band_solve_stream
+
+        rng = np.random.default_rng(8)
+        W = self._random_band(rng, 3, 20)  # n=2560 > monolithic limit
+        b = rng.standard_normal((3, 20 * _K)).astype(np.float32)
+        x = pallas_band_solve_stream(jnp.asarray(W), jnp.asarray(b))
+        ref = band_thomas_solve(jnp.asarray(W, jnp.float64),
+                                jnp.asarray(b, jnp.float64))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_stream_multi_matches_thomas(self):
+        from nodal_tpu.ops.pallas_band import pallas_band_solve_multi_stream
+
+        rng = np.random.default_rng(9)
+        W = self._random_band(rng, 2, 4)
+        R = rng.standard_normal((2, 4 * _K, 6)).astype(np.float32)
+        X = pallas_band_solve_multi_stream(jnp.asarray(W), jnp.asarray(R))
+        ref = band_thomas_solve(jnp.asarray(W, jnp.float64),
+                                jnp.asarray(R, jnp.float64))
+        np.testing.assert_allclose(np.asarray(X), np.asarray(ref),
+                                   rtol=2e-4, atol=1e-5)
+
+    def test_stream_equals_monolithic(self):
+        # Same band, both tiers, bit-comparable accuracy (interpret mode).
+        from nodal_tpu.ops.pallas_band import (pallas_band_solve,
+                                               pallas_band_solve_stream)
+
+        rng = np.random.default_rng(10)
+        W = self._random_band(rng, 2, 8)
+        b = rng.standard_normal((2, 8 * _K)).astype(np.float32)
+        a = np.asarray(pallas_band_solve(jnp.asarray(W), jnp.asarray(b)))
+        s = np.asarray(pallas_band_solve_stream(jnp.asarray(W),
+                                                jnp.asarray(b)))
+        np.testing.assert_allclose(a, s, rtol=1e-5, atol=1e-7)
+
+
 class TestBatchedSolverBand:
     def test_auto_selects_band_for_mesh(self):
         c = _mesh_circuit(9, 40, extra=[["src", "A", "1", "n1_1", "g"]])

@@ -189,6 +189,34 @@ def test_pallas_band_multi_rhs_mosaic():
     assert np.max(np.abs(X - exp)) / np.max(np.abs(exp)) < 1e-3
 
 
+def test_pallas_band_stream_mosaic():
+    # The grid-pipelined streaming tier (persistent scratch carry across
+    # sequential grid steps, reversed index maps on the backward pass).
+    from nodal_tpu.ops.pallas_band import pallas_band_solve_stream
+    from nodal_tpu.ops.band import _K
+
+    rng = np.random.default_rng(5)
+    B, nb = 8, 20  # n=2560: past the VMEM-resident tier
+    W = rng.standard_normal((B, nb, _K, 3 * _K)).astype(np.float32) * 0.1
+    W[:, 0, :, :_K] = 0.0
+    W[:, -1, :, 2 * _K:] = 0.0
+    idx = np.arange(_K)
+    W[:, :, idx, _K + idx] = np.abs(W).sum(-1)[:, :, idx] + 1.0
+    b = rng.standard_normal((B, nb * _K)).astype(np.float32)
+    x = np.asarray(pallas_band_solve_stream(jnp.asarray(W), jnp.asarray(b)))
+    # host-side f64 band-matvec residual (no f64 dots on TPU)
+    xb = x.astype(np.float64).reshape(B, nb, _K)
+    z = np.zeros_like(xb[:, :1])
+    x_lo = np.concatenate([z, xb[:, :-1]], axis=1)
+    x_hi = np.concatenate([xb[:, 1:], z], axis=1)
+    W64 = W.astype(np.float64)
+    r = (np.einsum("bnij,bnj->bni", W64[..., :_K], x_lo)
+         + np.einsum("bnij,bnj->bni", W64[..., _K:2 * _K], xb)
+         + np.einsum("bnij,bnj->bni", W64[..., 2 * _K:], x_hi)
+         ).reshape(B, nb * _K) - b
+    assert np.max(np.abs(r)) / np.max(np.abs(b)) < 1e-4
+
+
 def test_batched_tridiag_solver_end_to_end():
     # The bench fast path: band assembly + VMEM PCR under one jit.
     from nodal_tpu import Circuit, Netlist
