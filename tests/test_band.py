@@ -287,6 +287,48 @@ class TestBatchedSolverBand:
         assert BatchedSolver(c).method == "block"  # auto falls back
 
 
+class TestCircuitSolveBand:
+    def test_single_solve_routes_banded(self):
+        c = _mesh_circuit(9, 40, extra=[["src", "A", "1", "n1_1", "g"]])
+        sol = c.solve()
+        assert sol.stats["method"] == "band_thomas"
+        G, b = _dense_f64(c)
+        ref = np.linalg.solve(G, b)
+        got = np.array([sol.result[i] for i in range(c.stamps.n)])
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+        assert sol.stats["residual"] < 1e-10
+
+    def test_branch_circuit_stays_dense(self):
+        c = _mesh_circuit(5, 8, extra=[["e1", "E", "1", "n0_0", "g"]])
+        sol = c.solve()
+        assert sol.stats["method"] == "dense_lu"
+
+    def test_unbandable_stays_dense(self):
+        rng = np.random.default_rng(11)
+        netl = [["v", "A", "1", "n0", "g"]]
+        for k in range(900):
+            a, b = rng.integers(0, 220, 2)
+            if a == b:
+                continue
+            netl.append([f"r{k}", "R", "1", f"n{a}", f"n{b}"])
+        for j in range(220):
+            netl.append([f"rg{j}", "R", "1", f"n{j}", "g"])
+        c = Circuit(Netlist.from_rows(netl))
+        assert c.solve().stats["method"] == "dense_lu"
+
+    def test_singular_banded_circuit_still_raises(self):
+        # floating mesh chunk: band path solves garbage, the residual gate
+        # + rescue must still surface UnconnectedCircuitError.
+        from nodal_tpu.netlist import UnconnectedCircuitError
+
+        rows = list(grid_rows(4, 40, (0, 0), (3, 39)))
+        rows.append(["rf", "R", "1", "x1", "x2"])  # floating pair
+        rows.append(["src", "A", "1", "x1", "x2"])
+        c = Circuit(Netlist.from_rows(rows))
+        with pytest.raises(UnconnectedCircuitError):
+            c.solve()
+
+
 class TestSchurBandAssembler:
     def test_blocks_match_dense_partition(self):
         c = _mesh_circuit(
