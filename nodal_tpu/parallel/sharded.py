@@ -29,20 +29,62 @@ def make_sharded_batch_solver(
     """Compile a batch solver whose batch axis is sharded over every mesh
     axis (dp × sp treated as one data-parallel pool).
 
+    Structure-aware like :class:`nodal_tpu.batch.BatchedSolver`, but
+    restricted to the XLA-level solver implementations (PCR tridiagonal,
+    scan block-Thomas, blocked LU) — those are plain XLA ops whose batch
+    dimension GSPMD partitions with zero communication, whereas the Pallas
+    mega-kernels are opaque custom calls the partitioner cannot split.
+    ``refine=True`` keeps the dense f64-refined path.
+
     Returns a function ``params_batch [B, n_components] -> solutions [B, n]``
     with B divisible by the mesh size.
     """
     in_sharding = NamedSharding(mesh, P(("dp", "sp"), None))
     out_sharding = NamedSharding(mesh, P(("dp", "sp"), None))
 
-    def single(params):
-        G, b = assemble_dense(stamps, params, dtype=dtype)
-        if refine:
-            return dense_solve.solve_refined(G, b)
-        return dense_solve.solve_dense(G, b)
+    from nodal_tpu.ops import block_lu, tridiag
+    from nodal_tpu.ops.assemble import assemble_tridiag, bandwidth
+    from nodal_tpu.ops.band import band_plan, band_thomas_solve
+
+    resistive = stamps.n == stamps.n_kcl
+    plan = band_plan(stamps) if (resistive and not refine) else None
+
+    if resistive and not refine and bandwidth(stamps) <= 1:
+
+        def solve_batch(pb):
+            dl, d, du, b = jax.vmap(
+                lambda p: assemble_tridiag(stamps, p, dtype=dtype)
+            )(pb)
+            return tridiag.tridiag_solve(dl, d, du, b)
+
+    elif plan is not None and plan.nb >= 2:
+
+        def solve_batch(pb):
+            W, b = jax.vmap(
+                lambda p: plan.assemble(stamps, p, dtype=dtype)
+            )(pb)
+            return plan.unpermute(band_thomas_solve(W, b))
+
+    elif resistive and not refine:
+
+        def solve_batch(pb):
+            G, b = jax.vmap(
+                lambda p: assemble_dense(stamps, p, dtype=dtype)
+            )(pb)
+            return block_lu.blocked_solve(G, b)
+
+    else:
+
+        def single(params):
+            G, b = assemble_dense(stamps, params, dtype=dtype)
+            if refine:
+                return dense_solve.solve_refined(G, b)
+            return dense_solve.solve_dense(G, b)
+
+        solve_batch = jax.vmap(single)
 
     return jax.jit(
-        jax.vmap(single), in_shardings=in_sharding, out_shardings=out_sharding
+        solve_batch, in_shardings=in_sharding, out_shardings=out_sharding
     )
 
 

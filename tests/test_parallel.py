@@ -54,6 +54,34 @@ def test_sharded_batch_solver_matches_single():
         np.testing.assert_allclose(got[i], expected, rtol=1e-8, atol=1e-12)
 
 
+def test_sharded_batch_solver_band_structure():
+    # Mesh topology routes the sharded solver onto the XLA block-Thomas
+    # path (GSPMD shards its batch dim with zero communication); results
+    # must match the dense oracle on every shard.
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    mesh = make_mesh(8)
+    rows = list(grid_rows(6, 30, (0, 0), (5, 29)))
+    rows.append(["src", "A", "1", "n1_1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    from nodal_tpu.ops.band import band_plan
+
+    assert band_plan(circuit.stamps) is not None  # precondition
+    solver = make_sharded_batch_solver(circuit.stamps, mesh,
+                                       dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    base = circuit.stamps.params
+    batch = base * (1.0 + 0.05 * rng.standard_normal((8, len(base))))
+    got = np.asarray(solver(batch))
+
+    from nodal_tpu.ops.assemble import assemble_dense
+
+    for i in range(8):
+        G, b = assemble_dense(circuit.stamps, jnp.asarray(batch[i]))
+        expected = np.linalg.solve(np.asarray(G), np.asarray(b))
+        np.testing.assert_allclose(got[i], expected, rtol=1e-8, atol=1e-12)
+
+
 def test_sharded_grid_solver_matches_local():
     mesh = make_mesh(8)
     h = w = 32
