@@ -235,9 +235,12 @@ class BatchedSolver:
             if resistive and bandwidth(self.stamps) <= 1:
                 method = "tridiag"
             elif resistive and (plan := band_plan(self.stamps)) is not None \
-                    and plan.nb >= 2:
-                # Bandable after RCM: O(n·K²) block-Thomas beats the dense
-                # O(n³/3) blocked LU and shrinks storage n² -> 3·K·n.
+                    and plan.nb >= 2 and (plan.kb == 128 or plan.n > 1024):
+                # Bandable after RCM: O(n·kb²) block-Thomas beats the dense
+                # O(n³/3) blocked LU and shrinks storage n² -> 3·kb·n.
+                # Wide bands (kb ≥ 256) only pay off past the VMEM LU
+                # kernel's n=1024 reach: below it the dense factorization
+                # does fewer matmul passes than kb²-sized block inverses.
                 method = "band"
             elif resistive:
                 method = "block"
@@ -316,12 +319,12 @@ class BatchedSolver:
             )
 
             def band_core(W, b):
-                # VMEM-resident mega-kernel up to 2048 unknowns, the
-                # streaming grid-pipelined kernel to 32k, XLA scan beyond
-                # (or on CPU / f64).
-                if on_tpu_f32 and band_fits_vmem(plan.n_pad):
+                # VMEM-resident mega-kernel (kb=128, n <= 2048), the
+                # streaming grid-pipelined kernel beyond / for wide
+                # blocks, XLA scan on CPU / f64 / past the stream cap.
+                if on_tpu_f32 and band_fits_vmem(plan.n_pad, plan.kb):
                     return pallas_band_solve(W, b)
-                if on_tpu_f32 and band_fits_stream(plan.n_pad):
+                if on_tpu_f32 and band_fits_stream(plan.n_pad, plan.kb):
                     return pallas_band_solve_stream(W, b)
                 return band_thomas_solve(W, b)
 
@@ -403,13 +406,14 @@ class BatchedSolver:
             )
             nplan = node_band_plan(self.stamps) if on_tpu_f32 else None
             if on_tpu_f32 and nplan is not None and nplan.nb >= 2 \
-                    and band_fits_stream(nplan.n_pad):
+                    and (nplan.kb == 128 or nplan.n > 1024) \
+                    and band_fits_stream(nplan.n_pad, nplan.kb):
                 # Bandable node block: one banded multi-RHS Thomas pass
-                # computes A⁻¹[B | bk] — O(nk·K²) instead of the dense
+                # computes A⁻¹[B | bk] — O(nk·kb²) instead of the dense
                 # factorization.
                 assemble = _schur_band_assembler(self.stamps, dtype, nplan)
                 multi_solve = (pallas_band_solve_multi
-                               if band_fits_vmem(nplan.n_pad)
+                               if band_fits_vmem(nplan.n_pad, nplan.kb)
                                else pallas_band_solve_multi_stream)
 
                 def solve_batch(params_batch):

@@ -7,8 +7,9 @@ matrix has half-bandwidth w far below n.  The dense blocked LU
 4 MB/system of HBM traffic on a matrix that is ~99% structural zeros.
 
 This module reorders the system with reverse Cuthill-McKee (host-side,
-once per topology), stores it block-tridiagonally with 128×128 blocks
-(any half-bandwidth ≤ 128 fits), and solves with no-pivot block-Thomas:
+once per topology), stores it block-tridiagonally with kb×kb blocks
+(kb ∈ {128, 256, 384} — the smallest multiple of the MXU tile that
+covers the half-bandwidth), and solves with no-pivot block-Thomas:
 
     S_0 = D_0
     S_i = D_i − L_i S_{i-1}^{-1} U_{i-1}        (Schur recursion)
@@ -42,7 +43,12 @@ import jax.numpy as jnp
 
 from nodal_tpu.models.stamps import StampTensors, stamp_values
 
-_K = 128  # block size = MXU tile
+_K = 128  # MXU tile; block sizes are multiples of this
+
+#: Candidate block sizes.  Cost scales as n·kb², so the plan picks the
+#: smallest that covers the half-bandwidth; past 384 the dense/AMG paths
+#: win and the plan returns None.
+_KB_CHOICES = (128, 256, 384)
 
 
 def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
@@ -103,8 +109,9 @@ class BandPlan:
     """
 
     n: int            # unknowns covered by this plan
-    n_pad: int        # n rounded up to a multiple of K
-    nb: int           # number of K-sized block rows
+    kb: int           # block size (multiple of the 128 MXU tile)
+    n_pad: int        # n rounded up to a multiple of kb
+    nb: int           # number of kb-sized block rows
     halfbw: int       # half-bandwidth after reordering
     order: np.ndarray  # [n] order[new] = old
     rank: np.ndarray   # [n] rank[old] = new
@@ -122,11 +129,11 @@ class BandPlan:
         """
         params = jnp.asarray(params, dtype=dtype)
         g_vals, rhs_vals = stamp_values(stamps, params)
-        flat = jnp.zeros(self.n_pad * 3 * _K, dtype=params.dtype)
+        flat = jnp.zeros(self.n_pad * 3 * self.kb, dtype=params.dtype)
         flat = flat.at[self.g_flat].add(g_vals[self.sel])
         if len(self.unit_flat):
             flat = flat.at[self.unit_flat].add(1.0)
-        W = flat.reshape(self.nb, _K, 3 * _K)
+        W = flat.reshape(self.nb, self.kb, 3 * self.kb)
         b = jnp.zeros(self.n_pad, dtype=params.dtype)
         b = b.at[self.rhs_perm_rows].add(rhs_vals[self.rhs_sel])
         return W, b
@@ -144,14 +151,15 @@ class BandPlan:
 
 
 def make_band_plan(
-    stamps: StampTensors, n_limit: int | None = None
+    stamps: StampTensors, n_limit: int | None = None,
+    max_kb: int = _KB_CHOICES[-1],
 ) -> BandPlan | None:
     """Band plan for the leading ``n_limit`` unknowns (default: all).
 
     ``n_limit=stamps.n_kcl`` plans the resistive node block only — the
     Schur branch-equation path solves that block banded and keeps the few
     branch rows dense.  Returns None when the reordered half-bandwidth
-    exceeds K (the block-tridiagonal layout can't represent it).
+    exceeds ``max_kb`` (the block-tridiagonal layout can't represent it).
     """
     n = stamps.n if n_limit is None else n_limit
     if n == 0:
@@ -174,20 +182,22 @@ def make_band_plan(
         halfbw = natural_bw
     else:
         halfbw = rcm_bw
-    if halfbw > _K:
+    kb = next((k for k in _KB_CHOICES if halfbw <= k <= max_kb), None)
+    if kb is None:
         return None
-    n_pad = -(-n // _K) * _K
-    nb = n_pad // _K
+    n_pad = -(-n // kb) * kb
+    nb = n_pad // kb
     pr, pc = rank[rows], rank[cols]
-    # Block-band flat index: row r', column c' lands in block B_r = r'//K at
-    # band column c' − (B_r − 1)·K ∈ [0, 3K)  (guaranteed by halfbw ≤ K).
-    g_flat = pr * (3 * _K) + (pc - (pr // _K) * _K + _K)
+    # Block-band flat index: row r', column c' lands in block B_r = r'//kb
+    # at band column c' − (B_r − 1)·kb ∈ [0, 3kb)  (guaranteed by
+    # halfbw ≤ kb).
+    g_flat = pr * (3 * kb) + (pc - (pr // kb) * kb + kb)
     pad_rows = np.arange(n, n_pad, dtype=np.int64)
-    unit_flat = pad_rows * (3 * _K) + (pad_rows % _K) + _K
+    unit_flat = pad_rows * (3 * kb) + (pad_rows % kb) + kb
     rhs_sel = np.nonzero(stamps.rhs_rows < n)[0]
     rhs_perm_rows = rank[stamps.rhs_rows[rhs_sel].astype(np.int64)]
     return BandPlan(
-        n=n, n_pad=n_pad, nb=nb, halfbw=halfbw,
+        n=n, kb=kb, n_pad=n_pad, nb=nb, halfbw=halfbw,
         order=order, rank=rank, sel=sel,
         g_flat=g_flat.astype(np.int64),
         rhs_sel=rhs_sel, rhs_perm_rows=rhs_perm_rows.astype(np.int64),
@@ -219,14 +229,14 @@ def band_matvec(W, x):
     One f64 pass of this is the residual audit / refinement workhorse —
     O(n·K) instead of the dense O(n²).
     """
-    nb = W.shape[-3]
-    xb = x.reshape(x.shape[:-1] + (nb, _K))
+    nb, kb = W.shape[-3], W.shape[-2]
+    xb = x.reshape(x.shape[:-1] + (nb, kb))
     zeros = jnp.zeros_like(xb[..., :1, :])
     x_lo = jnp.concatenate([zeros, xb[..., :-1, :]], axis=-2)
     x_hi = jnp.concatenate([xb[..., 1:, :], zeros], axis=-2)
-    L = W[..., :, :_K]
-    D = W[..., :, _K:2 * _K]
-    U = W[..., :, 2 * _K:]
+    L = W[..., :, :kb]
+    D = W[..., :, kb:2 * kb]
+    U = W[..., :, 2 * kb:]
     hp = jax.lax.Precision.HIGHEST
     y = (
         jnp.einsum("...ij,...j->...i", L, x_lo, precision=hp)
@@ -245,17 +255,17 @@ def band_thomas_solve(W, b):
     ops.block_lu.  On TPU the Pallas kernel (ops/pallas_band.py) replaces
     this with a VMEM-resident version.
     """
-    nb = W.shape[-3]
+    nb, kb = W.shape[-3], W.shape[-2]
     vector_rhs = b.ndim == W.ndim - 2
     if vector_rhs:
         b = b[..., None]
     r = b.shape[-1]
-    bb = b.reshape(b.shape[:-2] + (nb, _K, r))
+    bb = b.reshape(b.shape[:-2] + (nb, kb, r))
     # Scan axis must lead: [..., nb, K, c] -> [nb, ..., K, c].
     lead = lambda t: jnp.moveaxis(t, -3, 0)  # noqa: E731
-    Ls = lead(W[..., :, :_K])
-    Ds = lead(W[..., :, _K:2 * _K])
-    Us = lead(W[..., :, 2 * _K:])
+    Ls = lead(W[..., :, :kb])
+    Ds = lead(W[..., :, kb:2 * kb])
+    Us = lead(W[..., :, 2 * kb:])
     bs = lead(bb)
 
     def fwd(carry, inp):
@@ -264,14 +274,14 @@ def band_thomas_solve(W, b):
         S = D - L @ Cp
         rhs = bi - L @ yp
         sol = jnp.linalg.solve(S, jnp.concatenate([U, rhs], axis=-1))
-        C = sol[..., :_K]
-        y = sol[..., _K:]
+        C = sol[..., :kb]
+        y = sol[..., kb:]
         return (C, y), (C, y)
 
     shape = W.shape[:-3]
     dtype = b.dtype
-    C0 = jnp.zeros(shape + (_K, _K), dtype)
-    y0 = jnp.zeros(shape + (_K, r), dtype)
+    C0 = jnp.zeros(shape + (kb, kb), dtype)
+    y0 = jnp.zeros(shape + (kb, r), dtype)
     _, (Cs, ys) = jax.lax.scan(fwd, (C0, y0), (Ls, Ds, Us, bs))
 
     def bwd(x_next, inp):

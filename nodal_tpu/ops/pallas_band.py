@@ -41,7 +41,7 @@ from nodal_tpu.ops.pallas_block_lu import (
     _x32_scope,
 )
 
-_K = 128  # block size = MXU tile
+_K = 128  # MXU tile; plan block sizes kb are multiples of this
 
 #: Band storage 1.5 KB/row + C/y state 1 KB/row, times T systems, must sit
 #: under the ~100 MB scoped-VMEM budget with transients.
@@ -77,24 +77,30 @@ def _pick_T(nb: int, multi: bool) -> int:
     return 16 if n <= 1024 else 8
 
 
-def band_fits_vmem(n: int) -> bool:
-    """Whether the VMEM block-Thomas kernel supports n unknowns."""
-    return -(-n // _K) * _K <= _MAX_N
+def band_fits_vmem(n: int, kb: int = _K) -> bool:
+    """Whether the VMEM-resident block-Thomas kernel supports (n, kb).
+
+    The monolithic kernel is kb=128-only; larger block sizes go through
+    the streaming tier, which measured *equal* speed at n=1024 (20.7k vs
+    20.4k solves/s on v5e) — there is nothing to gain from a monolithic
+    variant per kb."""
+    return kb == _K and -(-n // _K) * _K <= _MAX_N
 
 
-def _unit_band(nb: int) -> jnp.ndarray:
-    """[nb, K, 3K] band of the identity (batch-padding systems)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, _K, 3 * _K), 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, _K, 3 * _K), 2)
-    return (cols == rows + _K).astype(jnp.float32)
+def _unit_band(nb: int, kb: int = _K) -> jnp.ndarray:
+    """[nb, kb, 3kb] band of the identity (batch-padding systems)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, kb, 3 * kb), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, kb, 3 * kb), 2)
+    return (cols == rows + kb).astype(jnp.float32)
 
 
-def _thomas_many(Ws, rhs_of, nb: int, iters: int, fp32_tail: int):
+def _thomas_many(Ws, rhs_of, nb: int, iters: int, fp32_tail: int,
+                 kb: int = _K):
     """Interleaved block-Thomas over T band refs.
 
-    ``Ws[j]`` is a [n, 3K] VMEM ref (rows of system j's band);
-    ``rhs_of(j, t)`` yields block t's [K, R] RHS mat.  Returns per-system
-    lists of x blocks ([K, R]), natural block order.
+    ``Ws[j]`` is a [n, 3kb] VMEM ref (rows of system j's band);
+    ``rhs_of(j, t)`` yields block t's [kb, R] RHS mat.  Returns per-system
+    lists of x blocks ([kb, R]), natural block order.
     """
     T = len(Ws)
     C_hist = [[None] * nb for _ in range(T)]
@@ -102,24 +108,24 @@ def _thomas_many(Ws, rhs_of, nb: int, iters: int, fp32_tail: int):
     Cp = [None] * T
     yp = [None] * T
     for t in range(nb):
-        lo, hi = t * _K, (t + 1) * _K
+        lo, hi = t * kb, (t + 1) * kb
         Ds, bs = [], []
         for j in range(T):
-            D = Ws[j][lo:hi, _K:2 * _K]
+            D = Ws[j][lo:hi, kb:2 * kb]
             bm = rhs_of(j, t)
             if t > 0:
-                L = Ws[j][lo:hi, 0:_K]
+                L = Ws[j][lo:hi, 0:kb]
                 D = D - _mm(L, Cp[j])
                 bm = bm - _mm(L, yp[j])
             Ds.append(D)
             bs.append(bm)
-        Xs = _ns_inverse_many(Ds, iters, fp32_tail)
+        Xs = _ns_inverse_many(Ds, iters, fp32_tail, k=kb)
         for j in range(T):
             y = _mm(Xs[j], bs[j])
             y_hist[j][t] = y
             yp[j] = y
             if t < nb - 1:
-                C = _mm(Xs[j], Ws[j][lo:hi, 2 * _K:3 * _K])
+                C = _mm(Xs[j], Ws[j][lo:hi, 2 * kb:3 * kb])
                 C_hist[j][t] = C
                 Cp[j] = C
     xs = [[None] * nb for _ in range(T)]
@@ -190,8 +196,8 @@ def _make_multi_kernel(nb: int, iters: int, tail: int, T: int):
 
 def _pad_batch(W, extra, pad: int):
     """Append ``pad`` well-conditioned identity systems."""
-    nb = W.shape[1]
-    unit = jnp.broadcast_to(_unit_band(nb), (pad,) + W.shape[1:])
+    nb, kb = W.shape[1], W.shape[2]
+    unit = jnp.broadcast_to(_unit_band(nb, kb), (pad,) + W.shape[1:])
     return jnp.concatenate([W, unit], axis=0), jnp.concatenate(
         [extra, jnp.zeros((pad,) + extra.shape[1:], extra.dtype)], axis=0
     )
@@ -210,12 +216,14 @@ def pallas_band_solve(W, b, *, newton_iters: int = _NEWTON_ITERS,
     """
     B_in, nb, kb, kb3 = W.shape
     if kb != _K or kb3 != 3 * _K:
-        raise ValueError(f"band blocks must be [{_K}, {3 * _K}], got {W.shape}")
+        raise ValueError(
+            f"band blocks must be [{_K}, {3 * _K}] (kb > 128 uses "
+            f"pallas_band_solve_stream), got {W.shape}")
     n = nb * _K
     if n > _MAX_N:
         raise ValueError(
             f"pallas_band_solve supports n <= {_MAX_N} (VMEM budget); got "
-            f"{n} — use ops.band.band_thomas_solve"
+            f"{n} — use pallas_band_solve_stream"
         )
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
@@ -325,16 +333,16 @@ def pallas_band_solve_multi(W, R, *, newton_iters: int = _NEWTON_ITERS,
 # 325 solves/s at n=5000, B=64 — the streaming kernel is ~15x that).
 # ---------------------------------------------------------------------------
 
-#: Streaming-tier system cap: forward-pass C storage is K·n·4 B per
-#: system ([B, nb, K, K] in HBM) — 32k unknowns at B=256 is ~4 GB.
-_MAX_N_STREAM = 32768
+#: Streaming-tier cap on n·kb (forward-pass C storage is kb·n·4 B per
+#: system, [B, nb, kb, kb] in HBM — at the cap and B=256 that is ~4 GB).
+_MAX_NKB_STREAM = 32768 * 128
 
 _STREAM_T = 8  # systems per grid step (VMEM: carries + double-buffered DMA)
 
 
-def band_fits_stream(n: int) -> bool:
-    """Whether the streaming block-Thomas kernel supports n unknowns."""
-    return -(-n // _K) * _K <= _MAX_N_STREAM
+def band_fits_stream(n: int, kb: int = _K) -> bool:
+    """Whether the streaming block-Thomas kernel supports (n, kb)."""
+    return (-(-n // kb) * kb) * kb <= _MAX_NKB_STREAM
 
 
 def _ones_row():
@@ -348,7 +356,7 @@ def _e0_row():
 
 
 def _replicate(row):
-    """[1, K] row -> [K, 128] lane-replicated mat (HIGHEST: exact copy)."""
+    """[1, kb] row -> [kb, 128] lane-replicated mat (HIGHEST: exact copy)."""
     return jax.lax.dot_general(
         row, _ones_row(), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -357,7 +365,7 @@ def _replicate(row):
 
 
 def _extract_row(mat):
-    """[K, 128] lane-replicated mat -> [1, K] row (one-hot, HIGHEST)."""
+    """[kb, 128] lane-replicated mat -> [1, kb] row (one-hot, HIGHEST)."""
     return jax.lax.dot_general(
         _e0_row(), mat, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -365,7 +373,8 @@ def _extract_row(mat):
     )
 
 
-def _make_fwd_stream_kernel(iters: int, tail: int, T: int, multi: bool):
+def _make_fwd_stream_kernel(iters: int, tail: int, T: int, multi: bool,
+                            kb: int):
     def kernel(w_ref, b_ref, c_ref, y_ref, Cp, Yp):
         t = pl.program_id(1)
 
@@ -379,16 +388,16 @@ def _make_fwd_stream_kernel(iters: int, tail: int, T: int, multi: bool):
 
         Ds, bs = [], []
         for j in range(T):
-            L = w_ref[j, 0, :, 0:_K]
-            D = w_ref[j, 0, :, _K:2 * _K] - _mm(L, Cp[j])
+            L = w_ref[j, 0, :, 0:kb]
+            D = w_ref[j, 0, :, kb:2 * kb] - _mm(L, Cp[j])
             bm = b_ref[j, 0] if multi else _replicate(b_ref[j, 0:1, 0])
             bm = bm - _mm(L, Yp[j])
             Ds.append(D)
             bs.append(bm)
-        Xs = _ns_inverse_many(Ds, iters, tail)
+        Xs = _ns_inverse_many(Ds, iters, tail, k=kb)
         for j in range(T):
             y = _mm(Xs[j], bs[j])
-            C = _mm(Xs[j], w_ref[j, 0, :, 2 * _K:3 * _K])
+            C = _mm(Xs[j], w_ref[j, 0, :, 2 * kb:3 * kb])
             Cp[j] = C
             Yp[j] = y
             c_ref[j, 0] = C
@@ -425,8 +434,8 @@ def _make_bwd_stream_kernel(T: int, multi: bool):
 def _band_solve_stream(W, R_or_b, *, newton_iters: int, fp32_tail: int,
                        multi: bool):
     """Shared driver for the streaming tiers (R_or_b already padded/f32)."""
-    B, nb, _, _ = W.shape
-    n = nb * _K
+    B, nb, kb, _ = W.shape
+    n = nb * kb
     T = _STREAM_T
     vm = 100 * 1024 * 1024
     fwd_map = lambda i, t: (i, t, 0, 0)  # noqa: E731
@@ -436,30 +445,30 @@ def _band_solve_stream(W, R_or_b, *, newton_iters: int, fp32_tail: int,
         return pl.BlockSpec((T, 1) + block, index_map,
                             memory_space=pltpu.VMEM)
 
-    # y carries [K, 128] mats in multi mode, [1, K] rows otherwise.
-    y_block = (_K, _K) if multi else (1, _K)
+    # y carries [kb, 128] mats in multi mode, [1, kb] rows otherwise.
+    y_block = (kb, _K) if multi else (1, kb)
     rhs3 = R_or_b.reshape((B, nb) + y_block)
     y_shape = jax.ShapeDtypeStruct((B, nb) + y_block, jnp.float32)
 
     with _x32_scope():
         C, Y = pl.pallas_call(
-            _make_fwd_stream_kernel(newton_iters, fp32_tail, T, multi),
+            _make_fwd_stream_kernel(newton_iters, fp32_tail, T, multi, kb),
             grid=(B // T, nb),
             out_shape=(
-                jax.ShapeDtypeStruct((B, nb, _K, _K), jnp.float32),
+                jax.ShapeDtypeStruct((B, nb, kb, kb), jnp.float32),
                 y_shape,
             ),
             in_specs=[
-                spec((_K, 3 * _K), fwd_map),
+                spec((kb, 3 * kb), fwd_map),
                 spec(y_block, fwd_map),
             ],
             out_specs=(
-                spec((_K, _K), fwd_map),
+                spec((kb, kb), fwd_map),
                 spec(y_block, fwd_map),
             ),
             scratch_shapes=[
-                pltpu.VMEM((T, _K, _K), jnp.float32),
-                pltpu.VMEM((T, _K, _K), jnp.float32),
+                pltpu.VMEM((T, kb, kb), jnp.float32),
+                pltpu.VMEM((T, kb, _K), jnp.float32),  # y carry [kb, 128]
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
@@ -473,11 +482,11 @@ def _band_solve_stream(W, R_or_b, *, newton_iters: int, fp32_tail: int,
             grid=(B // T, nb),
             out_shape=y_shape,
             in_specs=[
-                spec((_K, _K), rev_map),
+                spec((kb, kb), rev_map),
                 spec(y_block, rev_map),
             ],
             out_specs=spec(y_block, rev_map),
-            scratch_shapes=[pltpu.VMEM((T, _K, _K), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((T, kb, _K), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=vm,
@@ -494,17 +503,20 @@ def pallas_band_solve_stream(W, b, *, newton_iters: int = _NEWTON_ITERS,
                              n_valid: int | None = None):
     """Streaming batched banded solve for n beyond the VMEM tier.
 
-    Same contract as :func:`pallas_band_solve`; supports
-    ``band_fits_stream(n)`` (32k unknowns).
+    Same contract as :func:`pallas_band_solve`, plus kb > 128 block sizes
+    (wide bands); supports ``band_fits_stream(n, kb)`` (32k unknowns at
+    kb=128, scaling down as 1/kb).
     """
     B_in, nb, kb, kb3 = W.shape
-    if kb != _K or kb3 != 3 * _K:
-        raise ValueError(f"band blocks must be [{_K}, {3 * _K}], got {W.shape}")
-    n = nb * _K
-    if n > _MAX_N_STREAM:
+    if kb % _K or kb3 != 3 * kb:
         raise ValueError(
-            f"pallas_band_solve_stream supports n <= {_MAX_N_STREAM}; "
-            f"got {n} — use ops.band.band_thomas_solve"
+            f"band blocks must be [kb, 3*kb] with kb a multiple of {_K}, "
+            f"got {W.shape}")
+    n = nb * kb
+    if not band_fits_stream(n, kb):
+        raise ValueError(
+            f"pallas_band_solve_stream supports n*kb <= {_MAX_NKB_STREAM}; "
+            f"got {n}*{kb} — use ops.band.band_thomas_solve"
         )
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
@@ -522,16 +534,19 @@ def pallas_band_solve_stream(W, b, *, newton_iters: int = _NEWTON_ITERS,
 def pallas_band_solve_multi_stream(W, R, *, newton_iters: int = _NEWTON_ITERS,
                                    fp32_tail: int = _FP32_TAIL):
     """Streaming batched banded MULTI-RHS solve (r <= 128); see
-    :func:`pallas_band_solve_multi` for the contract."""
+    :func:`pallas_band_solve_multi` for the contract.  Supports kb > 128
+    block sizes like :func:`pallas_band_solve_stream`."""
     B_in, nb, kb, kb3 = W.shape
-    if kb != _K or kb3 != 3 * _K:
-        raise ValueError(f"band blocks must be [{_K}, {3 * _K}], got {W.shape}")
-    n = nb * _K
-    r_in = R.shape[-1]
-    if n > _MAX_N_STREAM:
+    if kb % _K or kb3 != 3 * kb:
         raise ValueError(
-            f"pallas_band_solve_multi_stream supports n <= {_MAX_N_STREAM}; "
-            f"got {n}"
+            f"band blocks must be [kb, 3*kb] with kb a multiple of {_K}, "
+            f"got {W.shape}")
+    n = nb * kb
+    r_in = R.shape[-1]
+    if not band_fits_stream(n, kb):
+        raise ValueError(
+            f"pallas_band_solve_multi_stream supports n*kb <= "
+            f"{_MAX_NKB_STREAM}; got {n}*{kb}"
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")

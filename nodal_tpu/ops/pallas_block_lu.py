@@ -79,7 +79,7 @@ def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
                    precision=precision)
 
 
-def _ns_inverse_many(Ds, iters: int, fp32_tail: int = 2):
+def _ns_inverse_many(Ds, iters: int, fp32_tail: int = 2, k: int = _K):
     """Interleaved Newton-Schulz inverses of T [K, K] diagonally dominant
     blocks, Jacobi start (block_lu._inv_block rationale).  The T chains
     are independent — emitting them round-robin keeps the MXU pipeline
@@ -95,7 +95,7 @@ def _ns_inverse_many(Ds, iters: int, fp32_tail: int = 2):
     mesh (interpret mode does not model bf16 and shows none of this),
     (iters=12, tail=2) leaves 6.4e-2 rel err, (16, 4) reaches 2.7e-6.
     """
-    I = _eye(_K, Ds[0].dtype)
+    I = _eye(k, Ds[0].dtype)
     I2 = 2.0 * I
     Xs = []
     for D in Ds:

@@ -32,6 +32,29 @@ def _mesh_circuit(h, w, extra=()):
     return Circuit(Netlist.from_rows(rows))
 
 
+def _lattice_circuit(a, b, length):
+    """3D resistor lattice a x b x length + source: min cut ~ a*b nodes, so
+    the RCM half-bandwidth is ~a*b — the wide-band (kb > 128) regime."""
+    idx = lambda x, y, z: f"n{x}_{y}_{z}"  # noqa: E731
+    rows = []
+    k = 0
+    for z in range(length):
+        for x in range(a):
+            for y in range(b):
+                if x + 1 < a:
+                    rows.append([f"r{k}", "R", "1", idx(x, y, z),
+                                 idx(x + 1, y, z)]); k += 1
+                if y + 1 < b:
+                    rows.append([f"r{k}", "R", "1", idx(x, y, z),
+                                 idx(x, y + 1, z)]); k += 1
+                if z + 1 < length:
+                    rows.append([f"r{k}", "R", "1", idx(x, y, z),
+                                 idx(x, y, z + 1)]); k += 1
+    rows.append(["rg", "R", "1", idx(0, 0, 0), "g"])
+    rows.append(["src", "A", "1", idx(a - 1, b - 1, length - 1), "g"])
+    return Circuit(Netlist.from_rows(rows))
+
+
 def _dense_f64(circuit, params=None):
     p = circuit.stamps.params if params is None else params
     G, b = assemble_dense(circuit.stamps, jnp.asarray(p, jnp.float64))
@@ -103,19 +126,29 @@ class TestPlanAndAssembly:
         np.testing.assert_allclose(y, Gp @ x, rtol=1e-12, atol=1e-12)
 
     def test_wide_topology_returns_none(self):
-        # A random dense-ish graph on 300 nodes does not band under RCM.
+        # A random graph on 1200 nodes has no locality: RCM cannot push the
+        # half-bandwidth under the largest block size (384).
         rng = np.random.default_rng(0)
         rows = ["v", "A", "1", "n0", "g"]
         netl = [rows]
-        for k in range(1200):
-            a, b = rng.integers(0, 300, 2)
+        for k in range(4800):
+            a, b = rng.integers(0, 1200, 2)
             if a == b:
                 continue
             netl.append([f"r{k}", "R", "1", f"n{a}", f"n{b}"])
-        for j in range(300):  # ground ties keep it connected + SPD
+        for j in range(1200):  # ground ties keep it connected + SPD
             netl.append([f"rg{j}", "R", "1", f"n{j}", "g"])
         c = Circuit(Netlist.from_rows(netl))
         assert band_plan(c.stamps) is None
+
+    def test_wide_band_picks_larger_block(self):
+        # 14x14xL lattice: even RCM's diagonal level sets cross >128
+        # nodes, so the plan moves up to kb=256.
+        c = _lattice_circuit(14, 14, 12)
+        plan = band_plan(c.stamps)
+        assert plan is not None
+        assert plan.kb == 256
+        assert 128 < plan.halfbw <= 256
 
 
 class TestBandSolve:
@@ -274,17 +307,48 @@ class TestBatchedSolverBand:
     def test_band_rejects_unbandable(self):
         rng = np.random.default_rng(5)
         netl = [["v", "A", "1", "n0", "g"]]
-        for k in range(900):
-            a, b = rng.integers(0, 220, 2)
+        for k in range(4800):
+            a, b = rng.integers(0, 1200, 2)
             if a == b:
                 continue
             netl.append([f"r{k}", "R", "1", f"n{a}", f"n{b}"])
-        for j in range(220):
+        for j in range(1200):
             netl.append([f"rg{j}", "R", "1", f"n{j}", "g"])
         c = Circuit(Netlist.from_rows(netl))
         with pytest.raises(ValueError, match="band"):
             BatchedSolver(c, method="band")
         assert BatchedSolver(c).method == "block"  # auto falls back
+
+    def test_wide_band_auto_selected(self):
+        # kb=256 + n > 1024: the wide-band tier takes over from 'block'.
+        big = _lattice_circuit(14, 14, 12)  # n=2352
+        assert BatchedSolver(big).method == "band"
+
+    def test_wide_band_solve_matches_dense(self):
+        c = _lattice_circuit(14, 14, 12)
+        solver = BatchedSolver(c, dtype=jnp.float64, method="band")
+        pb = np.tile(c.stamps.params, (2, 1))
+        xs = np.asarray(solver(pb))
+        G, b = _dense_f64(c)
+        np.testing.assert_allclose(
+            xs[0], np.linalg.solve(G, b), rtol=1e-9, atol=1e-11
+        )
+
+    def test_wide_band_stream_kernel_interpret(self):
+        from nodal_tpu.ops.pallas_band import pallas_band_solve_stream
+
+        c = _lattice_circuit(14, 14, 12)
+        plan = band_plan(c.stamps)
+        assert plan.kb == 256
+        W, b = jax.vmap(
+            lambda p: plan.assemble(c.stamps, p, dtype=jnp.float32)
+        )(jnp.asarray(np.tile(c.stamps.params, (2, 1)), jnp.float32))
+        x = plan.unpermute(pallas_band_solve_stream(W, b))
+        G, bd = _dense_f64(c)
+        ref = np.linalg.solve(G, bd)
+        err = np.max(np.abs(np.asarray(x[0], np.float64) - ref)) / np.max(
+            np.abs(ref))
+        assert err < 1e-4
 
 
 class TestCircuitSolveBand:
