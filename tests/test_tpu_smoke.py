@@ -217,6 +217,33 @@ def test_pallas_band_stream_mosaic():
     assert np.max(np.abs(r)) / np.max(np.abs(b)) < 1e-4
 
 
+def test_pallas_band_stream_wide_block_mosaic():
+    # kb=256 blocks through the streaming kernel (the wide-band tier for
+    # 3-D lattices / wide meshes) — Mosaic must tile the 256-wide matmuls.
+    from nodal_tpu.ops.pallas_band import pallas_band_solve_stream
+
+    kb = 256
+    rng = np.random.default_rng(6)
+    B, nb = 8, 3  # n = 768
+    W = rng.standard_normal((B, nb, kb, 3 * kb)).astype(np.float32) * 0.05
+    W[:, 0, :, :kb] = 0.0
+    W[:, -1, :, 2 * kb:] = 0.0
+    idx = np.arange(kb)
+    W[:, :, idx, kb + idx] = np.abs(W).sum(-1)[:, :, idx] + 1.0
+    b = rng.standard_normal((B, nb * kb)).astype(np.float32)
+    x = np.asarray(pallas_band_solve_stream(jnp.asarray(W), jnp.asarray(b)))
+    xb = x.astype(np.float64).reshape(B, nb, kb)
+    z = np.zeros_like(xb[:, :1])
+    x_lo = np.concatenate([z, xb[:, :-1]], axis=1)
+    x_hi = np.concatenate([xb[:, 1:], z], axis=1)
+    W64 = W.astype(np.float64)
+    r = (np.einsum("bnij,bnj->bni", W64[..., :kb], x_lo)
+         + np.einsum("bnij,bnj->bni", W64[..., kb:2 * kb], xb)
+         + np.einsum("bnij,bnj->bni", W64[..., 2 * kb:], x_hi)
+         ).reshape(B, nb * kb) - b
+    assert np.max(np.abs(r)) / np.max(np.abs(b)) < 1e-4
+
+
 def test_batched_tridiag_solver_end_to_end():
     # The bench fast path: band assembly + VMEM PCR under one jit.
     from nodal_tpu import Circuit, Netlist
