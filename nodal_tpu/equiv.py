@@ -48,6 +48,88 @@ def equivalent_resistance(
     return _potential_difference(solution, probed, a, b)
 
 
+def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
+    """Equivalent resistance for many probe pairs of one netlist at once.
+
+    ``pairs`` is a sequence of ``(a, b)`` node-label pairs; returns a
+    float64 numpy array of the same length.  The conductance matrix is
+    factored ONCE and every pair rides a multi-RHS solve — banded circuits
+    use the block-Thomas factorization (ops.band), others a dense
+    factorization — so k pairs cost roughly one solve plus k cheap
+    back-substitutions instead of k full solves.  The reference has no
+    multi-probe path at all (its equiv.py re-deep-copies and re-solves the
+    whole netlist per probe, reference equiv.py:31-61).
+
+    Raises like :func:`equivalent_resistance` (ValueError on non-resistive
+    netlists, KeyError on unknown probe nodes).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nodal_tpu.models.stamps import compile_stamps
+
+    if not check_resistive(netlist):
+        raise ValueError("Network is not resistive")
+    pairs = list(pairs)
+    for a, b in pairs:
+        for node in (a, b):
+            if node not in netlist.nodenum and node != netlist.ground:
+                raise KeyError(f"Node `{node}` not found in netlist")
+    stamps = compile_stamps(netlist)
+    n = stamps.n
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def row(node):
+        return -1 if node == netlist.ground else netlist.nodenum[node]
+
+    rows_a = np.array([row(a) for a, _ in pairs])
+    rows_b = np.array([row(b) for _, b in pairs])
+
+    import contextlib
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover - no CPU backend registered
+        cpu = None
+    scope = (jax.default_device(cpu) if cpu is not None
+             else contextlib.nullcontext())
+    with scope:
+        from nodal_tpu.ops.band import band_plan, band_thomas_solve
+
+        plan = band_plan(stamps)
+        k = len(pairs)
+        if plan is not None and plan.nb >= 2:
+            # Banded: one block-Thomas factorization, k RHS lanes.  Probe
+            # rows must be permuted into band order.
+            R = np.zeros((plan.n_pad, k))
+            rank = plan.rank
+            for j, (ra, rb) in enumerate(zip(rows_a, rows_b)):
+                if ra >= 0:
+                    R[rank[ra], j] += 1.0
+                if rb >= 0:
+                    R[rank[rb], j] -= 1.0
+            W, _ = plan.assemble(stamps, stamps.params, dtype=jnp.dtype(dtype))
+            X = plan.unpermute(band_thomas_solve(W, jnp.asarray(R, dtype)))
+        else:
+            from nodal_tpu.ops.assemble import assemble_dense
+
+            R = np.zeros((n, k))
+            for j, (ra, rb) in enumerate(zip(rows_a, rows_b)):
+                if ra >= 0:
+                    R[ra, j] += 1.0
+                if rb >= 0:
+                    R[rb, j] -= 1.0
+            G, _ = assemble_dense(stamps, stamps.params,
+                                  dtype=jnp.dtype(dtype))
+            X = jnp.linalg.solve(G, jnp.asarray(R, dtype))
+        Xn = np.asarray(X, dtype=np.float64)
+    ea = np.where(rows_a >= 0, Xn[np.maximum(rows_a, 0), np.arange(k)], 0.0)
+    eb = np.where(rows_b >= 0, Xn[np.maximum(rows_b, 0), np.arange(k)], 0.0)
+    return ea - eb
+
+
 def equivalent_resistance_stamps(stamps, row_a: int, row_b: int, *,
                                  dtype=None, tol: float = 1e-9) -> float:
     """Equivalent resistance directly from compiled stamp tensors.

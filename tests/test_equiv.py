@@ -58,3 +58,38 @@ def test_original_netlist_not_mutated(tmp_netlist):
     keys_before = list(netlist.component_keys)
     equivalent_resistance(netlist, "1", "g")
     assert netlist.component_keys == keys_before
+
+
+class TestEquivalentResistanceMany:
+    def test_matches_single_probe_loop(self):
+        from nodal_tpu.equiv import (equivalent_resistance,
+                                     equivalent_resistance_many)
+        from nodal_tpu.utils.gridgen import grid_rows
+
+        rows = list(grid_rows(7, 20, (0, 0), (6, 19)))  # probes -> "1", "g"
+        nl = Netlist.from_rows(rows)
+        pairs = [("1", "n5_5"), ("n1_1", "n5_5"), ("n0_1", "n0_2"),
+                 ("n3_3", nl.ground)]
+        many = equivalent_resistance_many(nl, pairs)
+        for (a, b), r in zip(pairs, many):
+            single = equivalent_resistance(nl, a, b)
+            np.testing.assert_allclose(r, single, rtol=1e-9, atol=1e-12)
+
+    def test_reciprocity_and_errors(self):
+        import pytest
+
+        from nodal_tpu.equiv import equivalent_resistance_many
+
+        rows = [
+            ["r1", "R", "1", "1", "2"],
+            ["r2", "R", "2", "2", "g"],
+            ["r3", "R", "3", "1", "g"],
+        ]
+        nl = Netlist.from_rows(rows)
+        r = equivalent_resistance_many(nl, [("1", "2"), ("2", "1")])
+        np.testing.assert_allclose(r[0], r[1], rtol=1e-12)
+        with pytest.raises(KeyError):
+            equivalent_resistance_many(nl, [("1", "nope")])
+        rows.append(["e1", "E", "1", "1", "g"])
+        with pytest.raises(ValueError):
+            equivalent_resistance_many(Netlist.from_rows(rows), [("1", "2")])

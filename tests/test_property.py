@@ -81,3 +81,72 @@ def test_sparse_dense_agree_on_random_networks(seed):
     sparse = Circuit(Netlist.from_rows(netlist_rows), sparse=True).solve()
     np.testing.assert_allclose(sparse.result, dense.result, rtol=1e-7,
                                atol=1e-10)
+
+
+def _random_geometric_resistive(rng, n_nodes, radius=0.12):
+    """Random geometric graph: local connectivity, so it RCM-bands —
+    exercises the band path's planning + solve on irregular topologies."""
+    pts = rng.uniform(0, 1, (n_nodes, 2))
+    rows = []
+    k = 0
+    for i in range(n_nodes):
+        for j in range(i + 1, n_nodes):
+            if np.sum((pts[i] - pts[j]) ** 2) < radius ** 2:
+                rows.append([f"r{k}", "R", f"{rng.uniform(0.5, 5):.6f}",
+                             f"n{i}", f"n{j}"])
+                k += 1
+    # ground ties keep it connected + diagonally dominant
+    for i in range(n_nodes):
+        rows.append([f"rg{i}", "R", f"{rng.uniform(5, 50):.4f}",
+                     f"n{i}", "g"])
+    rows.append(["src", "A", "1", "n0", "g"])
+    return rows
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_band_path_matches_dense_on_geometric_graphs(seed):
+    """Randomized check of the whole band pipeline (RCM plan, permuted
+    block-band assembly, block-Thomas, un-permute) against the dense numpy
+    oracle on irregular-but-local topologies."""
+    import jax.numpy as jnp
+
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.ops.assemble import assemble_dense
+    from nodal_tpu.ops.band import band_plan
+
+    rng = np.random.default_rng(100 + seed)
+    rows = _random_geometric_resistive(rng, 300)
+    circuit = Circuit(Netlist.from_rows(rows))
+    plan = band_plan(circuit.stamps)
+    if plan is None or plan.nb < 2:
+        pytest.skip("this draw did not band (radius too large)")
+    solver = BatchedSolver(circuit, dtype=jnp.float64, method="band")
+    base = circuit.stamps.params
+    pb = base * (1.0 + 0.1 * rng.standard_normal((3, len(base))))
+    xs = np.asarray(solver(pb))
+    for i in range(3):
+        G, b = assemble_dense(circuit.stamps,
+                              jnp.asarray(pb[i], jnp.float64))
+        expected = np.linalg.solve(np.asarray(G), np.asarray(b))
+        np.testing.assert_allclose(xs[i], expected, rtol=1e-8, atol=1e-11)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_band_single_solve_matches_reference_semantics(seed):
+    """Circuit.solve routed through band_thomas must satisfy KCL exactly
+    like the dense path (same Solution surface, residual-audited)."""
+    rng = np.random.default_rng(200 + seed)
+    rows = _random_geometric_resistive(rng, 300)
+    circuit = Circuit(Netlist.from_rows(rows))
+    sol = circuit.solve()
+    assert sol.stats["residual"] < 1e-9
+    # physics check: net current into n0 equals the 1 A source
+    import jax.numpy as jnp
+
+    from nodal_tpu.ops.assemble import assemble_dense
+
+    G, b = assemble_dense(circuit.stamps,
+                          jnp.asarray(circuit.stamps.params, jnp.float64))
+    x = np.array([sol.result[i] for i in range(circuit.stamps.n)])
+    r = np.asarray(b) - np.asarray(G) @ x
+    assert np.max(np.abs(r)) < 1e-9
