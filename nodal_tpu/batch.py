@@ -98,7 +98,7 @@ def _schur_band_assembler(stamps: StampTensors, dtype, bplan):
     def blocks(params):
         params = jnp.asarray(params, dtype=dtype)
         g_vals, rhs_vals = stamp_values(stamps, params)
-        W, bk = bplan.assemble(stamps, params, dtype=dtype)
+        W, bk = bplan.assemble_from_values(g_vals, rhs_vals)
         Bm = jnp.zeros((n_pad, kbe), dtype).at[rB, gc[iB] - nk].add(
             g_vals[iB])
         C = jnp.zeros((kbe, n_pad), dtype).at[gr[iC] - nk, cC].add(
@@ -183,11 +183,11 @@ class BatchedSolver:
     * ``tridiag`` — chain/ladder topologies (bandwidth ≤ 1, purely
       resistive): band assembly + parallel cyclic reduction, O(n log n)
       work, no dense matrix ever built.
-    * ``band``   — locally-connected resistive circuits (meshes, buses)
-      whose half-bandwidth after a reverse Cuthill-McKee reordering is
-      ≤ 128: block-tridiagonal no-pivot Thomas (ops.band /
-      ops.pallas_band), O(n·K²) work instead of O(n³/3) and 3·K·n
-      storage instead of n².
+    * ``band``   — locally-connected resistive circuits (meshes, buses,
+      3-D lattices) whose half-bandwidth after a reverse Cuthill-McKee
+      reordering fits a block size kb ∈ {128, 256, 384}:
+      block-tridiagonal no-pivot Thomas (ops.band / ops.pallas_band),
+      O(n·kb²) work instead of O(n³/3) and 3·kb·n storage instead of n².
     * ``block``  — remaining resistive (diagonally dominant) systems: the
       MXU-native no-pivot blocked LU (ops.block_lu).
     * ``schur``  — branch-equation systems whose resistive node block is
@@ -258,7 +258,7 @@ class BatchedSolver:
             )
         elif method == "band" and band_plan(self.stamps) is None:
             raise ValueError(
-                "method='band' requires half-bandwidth <= 128 after RCM "
+                "method='band' requires half-bandwidth <= 384 after RCM "
                 "reordering; this circuit does not band — use 'block'"
             )
         elif method == "schur":
@@ -313,22 +313,25 @@ class BatchedSolver:
                                                    pallas_band_solve,
                                                    pallas_band_solve_stream)
 
-            on_tpu_f32 = (
-                jax.default_backend() == "tpu"
-                and jnp.dtype(dtype) == jnp.float32
-            )
+            on_tpu = jax.default_backend() == "tpu"
 
             def band_core(W, b):
-                # VMEM-resident mega-kernel (kb=128, n <= 2048), the
-                # streaming grid-pipelined kernel beyond / for wide
-                # blocks, XLA scan on CPU / f64 / past the stream cap.
-                if on_tpu_f32 and band_fits_vmem(plan.n_pad, plan.kb):
+                # f32 solve tier: VMEM-resident mega-kernel (kb=128,
+                # n <= 2048), the streaming grid-pipelined kernel beyond /
+                # for wide blocks, XLA scan on CPU or past the stream cap.
+                # Callers pass f32 arrays only.
+                if on_tpu and band_fits_vmem(plan.n_pad, plan.kb):
                     return pallas_band_solve(W, b)
-                if on_tpu_f32 and band_fits_stream(plan.n_pad, plan.kb):
+                if on_tpu and band_fits_stream(plan.n_pad, plan.kb):
                     return pallas_band_solve_stream(W, b)
                 return band_thomas_solve(W, b)
 
-            if refine:
+            # f64 on TPU follows the dense path's policy (circuit.py): no
+            # f64 LU exists there, so it is always f32 solves + f64
+            # band-space residual refinement — same as refine=True.
+            refined = refine or (on_tpu and jnp.dtype(dtype) == jnp.float64)
+
+            if refined:
 
                 def solve_batch(params_batch):
                     # f32 banded solves, f64 band-space residuals — the

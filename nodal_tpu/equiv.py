@@ -61,12 +61,17 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
     whole netlist per probe, reference equiv.py:31-61).
 
     Raises like :func:`equivalent_resistance` (ValueError on non-resistive
-    netlists, KeyError on unknown probe nodes).
+    netlists, KeyError on unknown probe nodes, UnconnectedCircuitError /
+    LinAlgError on singular systems — the solves are residual-gated like
+    Circuit.solve, so a floating netlist cannot return silent NaNs).
     """
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from nodal_tpu.circuit import _cpu_device_or_none
     from nodal_tpu.models.stamps import compile_stamps
 
     if not check_resistive(netlist):
@@ -76,6 +81,8 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
         for node in (a, b):
             if node not in netlist.nodenum and node != netlist.ground:
                 raise KeyError(f"Node `{node}` not found in netlist")
+    if not pairs:
+        return np.zeros(0)
     stamps = compile_stamps(netlist)
     n = stamps.n
     if dtype is None:
@@ -84,19 +91,15 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
     def row(node):
         return -1 if node == netlist.ground else netlist.nodenum[node]
 
-    rows_a = np.array([row(a) for a, _ in pairs])
-    rows_b = np.array([row(b) for _, b in pairs])
+    rows_a = np.array([row(a) for a, _ in pairs], dtype=np.int64)
+    rows_b = np.array([row(b) for _, b in pairs], dtype=np.int64)
 
-    import contextlib
-
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:  # pragma: no cover - no CPU backend registered
-        cpu = None
+    cpu = _cpu_device_or_none()
     scope = (jax.default_device(cpu) if cpu is not None
              else contextlib.nullcontext())
     with scope:
-        from nodal_tpu.ops.band import band_plan, band_thomas_solve
+        from nodal_tpu.ops.band import (band_matvec, band_plan,
+                                        band_thomas_solve)
 
         plan = band_plan(stamps)
         k = len(pairs)
@@ -111,7 +114,11 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
                 if rb >= 0:
                     R[rank[rb], j] -= 1.0
             W, _ = plan.assemble(stamps, stamps.params, dtype=jnp.dtype(dtype))
-            X = plan.unpermute(band_thomas_solve(W, jnp.asarray(R, dtype)))
+            Xp = band_thomas_solve(W, jnp.asarray(R, dtype))
+            # residual gate (no-pivot solve of a singular system returns
+            # garbage, not an exception)
+            resid = band_matvec(W, Xp.T).T - jnp.asarray(R, dtype)
+            X = plan.unpermute(Xp, rows_axis=-2)
         else:
             from nodal_tpu.ops.assemble import assemble_dense
 
@@ -124,7 +131,18 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
             G, _ = assemble_dense(stamps, stamps.params,
                                   dtype=jnp.dtype(dtype))
             X = jnp.linalg.solve(G, jnp.asarray(R, dtype))
+            resid = G @ X - jnp.asarray(R, dtype)
         Xn = np.asarray(X, dtype=np.float64)
+        rmax = float(jnp.max(jnp.abs(resid)))
+    tol = 1e-6 if jnp.dtype(dtype) == jnp.float64 else 3e-2
+    if not np.isfinite(rmax) or rmax > tol or not np.isfinite(Xn).all():
+        from numpy.linalg import LinAlgError
+
+        from nodal_tpu.netlist import UnconnectedCircuitError, is_connected
+
+        if not is_connected(netlist):
+            raise UnconnectedCircuitError
+        raise LinAlgError("Singular matrix")
     ea = np.where(rows_a >= 0, Xn[np.maximum(rows_a, 0), np.arange(k)], 0.0)
     eb = np.where(rows_b >= 0, Xn[np.maximum(rows_b, 0), np.arange(k)], 0.0)
     return ea - eb

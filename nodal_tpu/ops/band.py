@@ -124,30 +124,37 @@ class BandPlan:
     def assemble(self, stamps: StampTensors, params, dtype=None):
         """Band + RHS assembly for one parameter vector (jit/vmap-friendly).
 
-        Returns ``(W, b)``: ``W`` [nb, K, 3K] block-band storage, ``b``
+        Returns ``(W, b)``: ``W`` [nb, kb, 3kb] block-band storage, ``b``
         [n_pad] reordered RHS.
         """
         params = jnp.asarray(params, dtype=dtype)
         g_vals, rhs_vals = stamp_values(stamps, params)
-        flat = jnp.zeros(self.n_pad * 3 * self.kb, dtype=params.dtype)
+        return self.assemble_from_values(g_vals, rhs_vals)
+
+    def assemble_from_values(self, g_vals, rhs_vals):
+        """Like :meth:`assemble`, from already-evaluated stamp values —
+        for callers that also scatter the same values elsewhere (the Schur
+        band assembler) and must not trace the evaluation twice."""
+        flat = jnp.zeros(self.n_pad * 3 * self.kb, dtype=g_vals.dtype)
         flat = flat.at[self.g_flat].add(g_vals[self.sel])
         if len(self.unit_flat):
             flat = flat.at[self.unit_flat].add(1.0)
         W = flat.reshape(self.nb, self.kb, 3 * self.kb)
-        b = jnp.zeros(self.n_pad, dtype=params.dtype)
+        b = jnp.zeros(self.n_pad, dtype=rhs_vals.dtype)
         b = b.at[self.rhs_perm_rows].add(rhs_vals[self.rhs_sel])
         return W, b
 
-    def unpermute(self, x):
+    def unpermute(self, x, *, rows_axis: int = -1):
         """Map a solution on the reordered unknowns back to natural order.
 
-        ``x`` is [..., n_pad] (or [..., n_pad, r]); returns [..., n] in the
-        original MNA numbering.
+        ``rows_axis`` names the axis of length ``n_pad`` that carries the
+        reordered unknowns (pass -2 for multi-RHS [..., n_pad, r] arrays —
+        an explicit argument, because shape-sniffing would misfire when the
+        RHS count happens to equal n_pad).  Returns length-``n`` on that
+        axis, in the original MNA numbering.
         """
-        rank = jnp.asarray(self.rank)
-        if x.shape[-1] == self.n_pad:
-            return x[..., rank]
-        return jnp.take(x, rank, axis=-2)
+        assert x.shape[rows_axis] == self.n_pad, (x.shape, self.n_pad)
+        return jnp.take(x, jnp.asarray(self.rank), axis=rows_axis)
 
 
 def make_band_plan(

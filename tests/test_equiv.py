@@ -93,3 +93,24 @@ class TestEquivalentResistanceMany:
         rows.append(["e1", "E", "1", "1", "g"])
         with pytest.raises(ValueError):
             equivalent_resistance_many(Netlist.from_rows(rows), [("1", "2")])
+
+    def test_empty_pairs(self):
+        from nodal_tpu.equiv import equivalent_resistance_many
+
+        nl = Netlist.from_rows([["r1", "R", "1", "1", "g"]])
+        out = equivalent_resistance_many(nl, [])
+        assert out.shape == (0,)
+
+    def test_singular_netlist_raises_not_nan(self):
+        import pytest
+
+        from nodal_tpu import UnconnectedCircuitError
+        from nodal_tpu.equiv import equivalent_resistance_many
+
+        # two disconnected resistive islands: singular reduced system
+        nl = Netlist.from_rows([
+            ["r1", "R", "1", "a", "b"],
+            ["r2", "R", "1", "c", "g"],
+        ])
+        with pytest.raises(UnconnectedCircuitError):
+            equivalent_resistance_many(nl, [("a", "b")])

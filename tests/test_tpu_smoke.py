@@ -257,3 +257,23 @@ def test_batched_tridiag_solver_end_to_end():
     xs = solver(batch)
     res = np.asarray(solver.residuals(batch, np.asarray(xs)))
     assert np.max(res) < 1e-4
+
+
+def test_batched_band_f64_on_tpu():
+    # dtype=f64 on the TPU backend must route to f32 band solves + f64
+    # band-space refinement (there is no f64 LU on TPU) — this regressed
+    # once when the band method gated the Pallas tier on dtype==f32 and
+    # fell back to an XLA scan whose f64 per-block LU cannot lower.
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    rows = list(grid_rows(9, 40, (0, 0), (8, 39)))
+    rows.append(["src", "A", "1", "n1_1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    solver = BatchedSolver(circuit, dtype=jnp.float64)
+    assert solver.method == "band"
+    batch = np.tile(circuit.stamps.params, (8, 1))
+    xs = solver(batch)
+    res = np.asarray(solver.residuals(batch, np.asarray(xs)))
+    assert np.max(res) < 1e-10  # refined: f64-level accuracy
