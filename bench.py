@@ -105,7 +105,11 @@ def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto"):
         expected = np.linalg.solve(np.asarray(G), np.asarray(b))
     got = np.asarray(out[0], dtype=np.float64)
     err = float(np.max(np.abs(got - expected)) / np.max(np.abs(expected)))
-    return solves_per_sec, dt, err, solver.method
+    # Full-batch residual audit (assembly-free COO matvec, f64 on host):
+    # sample-0 error checks alone once hid a 40%-of-samples divergence of
+    # the deep-chain bf16 Newton-Schulz schedule.
+    audit = float(jnp.max(solver.residuals(np.asarray(mega), np.asarray(out))))
+    return solves_per_sec, dt, err, audit, solver.method
 
 
 def bench_grid(n: int, tol: float, k: int = 4):
@@ -188,7 +192,7 @@ def main(argv=None):
 
     backend = jax.default_backend()
 
-    solves_per_sec, dt, err, method = bench_batched_solves(
+    solves_per_sec, dt, err, audit, method = bench_batched_solves(
         _ladder_circuit(args.nodes), args.batch, args.reps, args.method
     )
     extra = {
@@ -197,13 +201,14 @@ def main(argv=None):
         "batch_size": args.batch,
         "batched_wall_s": round(dt, 4),
         "batched_rel_err_vs_f64": err,
+        "batched_max_residual": audit,
     }
     if not args.skip_general:
         # General (non-chain) topology: the round-1 review's headline gap.
-        gen_sps, gen_dt, gen_err, gen_method = bench_batched_solves(
+        gen_sps, gen_dt, gen_err, gen_audit, gen_method = bench_batched_solves(
             _mesh_circuit(args.nodes), args.general_batch, args.reps
         )
-        br_sps, br_dt, br_err, br_method = bench_batched_solves(
+        br_sps, br_dt, br_err, br_audit, br_method = bench_batched_solves(
             _branch_circuit(args.nodes), args.general_batch, args.reps
         )
         extra.update(
@@ -212,17 +217,19 @@ def main(argv=None):
                 "general_method": gen_method,
                 "general_batch_size": args.general_batch,
                 "general_rel_err_vs_f64": gen_err,
+                "general_max_residual": gen_audit,
                 "general_vs_baseline": round(gen_sps / BASELINE_SOLVES_PER_SEC, 2),
                 "branch_solves_per_sec_1000_nodes": round(br_sps, 2),
                 "branch_method": br_method,
                 "branch_rel_err_vs_f64": br_err,
+                "branch_max_residual": br_audit,
                 "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
             }
         )
     if not args.skip_general and args.midsize_nodes:
         # Mid-size tier: past the VMEM-resident band kernel, exercising the
         # streaming (grid-pipelined) block-Thomas path.
-        mid_sps, mid_dt, mid_err, mid_method = bench_batched_solves(
+        mid_sps, mid_dt, mid_err, mid_audit, mid_method = bench_batched_solves(
             _mesh_circuit(args.midsize_nodes), args.midsize_batch, 2
         )
         extra.update(
@@ -231,6 +238,7 @@ def main(argv=None):
                 "midsize_solves_per_sec": round(mid_sps, 2),
                 "midsize_method": mid_method,
                 "midsize_rel_err_vs_f64": mid_err,
+                "midsize_max_residual": mid_audit,
             }
         )
     if not args.skip_grid:

@@ -47,20 +47,28 @@ _K = 128  # MXU tile; plan block sizes kb are multiples of this
 #: under the ~100 MB scoped-VMEM budget with transients.
 _MAX_N = 2048
 
-#: Newton-Schulz iterations for the per-block inverses.  The band path's
-#: Schur blocks are *barely* diagonally dominant (interior grid Laplacian
-#: rows sum to ~0, Jacobi spectral radius ~0.999), so the quadratic phase
-#: starts late: measured on the 25x40 mesh at n=1000, rel err vs f64 is
-#: 6.4e-2 at 12 iters (tail 2) but 2.7e-6 at 16 (tail 4) on the real MXU.
-_NEWTON_ITERS = 16
+#: The band path runs ALL-fp32 Newton-Schulz.  The Schur blocks of a
+#: weakly-grounded chain approach the near-singular boundary operator of
+#: the eliminated region, so the Jacobi-start contraction factor is
+#: e0 = 1 − λmin/d ≈ 1 − 1e-4..1e-6: within bf16 input noise (~4e-3) of
+#: the divergence boundary.  Mixed bf16 schedules tip individual batch
+#: samples over e=1 and Newton leaves its basin entirely — measured on
+#: real v5e with full-batch residual audits: a 25x400 mesh (nb=79) had
+#: ~40% garbage samples (residuals 0.7..1e16, MORE mixed iterations →
+#: NaN), and even the nb=8 bench mesh at B=1024 with all components
+#: perturbed 5% had samples at residual 4e4.  fp32 noise (~1e-7) keeps
+#: e below 1 for the same blocks (audited clean at every size).  Depth
+#: scales the iteration count: convergence needs 2^k ≳ 14/(1−e0) and
+#: λmin shrinks with the eliminated-region size.
+_FP32_ITERS = 16        # nb <= 8  (n <= 1024 at kb=128)
+_FP32_ITERS_DEEP = 22   # longer chains (λmin ~ 1/region-size)
+_DEEP_NB = 8
 
-#: fp32 closing iterations of the Newton-Schulz phase.  The band path's
-#: weakly-dominant blocks stall the bf16 phase before its usual ~1e-2
-#: floor, so it needs more than 2 closers (measured on the 25x40 mesh,
-#: real v5e, after pinning HIGHEST on the data-movement dot_generals:
-#: (12 iters, tail 2) -> 6.4e-2 rel err; (14, 4) -> 4.7e-5;
-#: (16, 4) -> 2.7e-6 = the f32 solve floor, at 20.2k solves/s kernel-only).
-_FP32_TAIL = 4
+
+def _ns_schedule(nb: int) -> tuple[int, int]:
+    """(newton_iters, fp32_tail) by chain depth — see the note above."""
+    it = _FP32_ITERS if nb <= _DEEP_NB else _FP32_ITERS_DEEP
+    return it, it
 
 
 def _pick_T(nb: int, multi: bool) -> int:
@@ -205,8 +213,8 @@ def _pad_batch(W, extra, pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("newton_iters", "fp32_tail", "n_valid"))
-def pallas_band_solve(W, b, *, newton_iters: int = _NEWTON_ITERS,
-                      fp32_tail: int = _FP32_TAIL,
+def pallas_band_solve(W, b, *, newton_iters: int | None = None,
+                      fp32_tail: int | None = None,
                       n_valid: int | None = None):
     """Batched banded solve: ``W`` [B, nb, K, 3K] block-band storage
     (ops.band.BandPlan.assemble), ``b`` [B, nb·K] -> x [B, nb·K] (f32).
@@ -225,6 +233,10 @@ def pallas_band_solve(W, b, *, newton_iters: int = _NEWTON_ITERS,
             f"pallas_band_solve supports n <= {_MAX_N} (VMEM budget); got "
             f"{n} — use pallas_band_solve_stream"
         )
+    if newton_iters is None or fp32_tail is None:
+        it, tl = _ns_schedule(nb)
+        newton_iters = it if newton_iters is None else newton_iters
+        fp32_tail = tl if fp32_tail is None else fp32_tail
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
     T = _pick_T(nb, multi=False)
@@ -259,8 +271,8 @@ def pallas_band_solve(W, b, *, newton_iters: int = _NEWTON_ITERS,
 
 
 @functools.partial(jax.jit, static_argnames=("newton_iters", "fp32_tail"))
-def pallas_band_solve_multi(W, R, *, newton_iters: int = _NEWTON_ITERS,
-                            fp32_tail: int = _FP32_TAIL):
+def pallas_band_solve_multi(W, R, *, newton_iters: int | None = None,
+                            fp32_tail: int | None = None):
     """Batched banded MULTI-RHS solve: ``W`` [B, nb, K, 3K],
     ``R`` [B, nb·K, r] with r <= 128 -> X [B, nb·K, r] (f32).
 
@@ -279,6 +291,10 @@ def pallas_band_solve_multi(W, R, *, newton_iters: int = _NEWTON_ITERS,
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
+    if newton_iters is None or fp32_tail is None:
+        it, tl = _ns_schedule(nb)
+        newton_iters = it if newton_iters is None else newton_iters
+        fp32_tail = tl if fp32_tail is None else fp32_tail
     W = W.astype(jnp.float32)
     R = R.astype(jnp.float32)
     if r_in != _K:
@@ -498,8 +514,8 @@ def _band_solve_stream(W, R_or_b, *, newton_iters: int, fp32_tail: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("newton_iters", "fp32_tail", "n_valid"))
-def pallas_band_solve_stream(W, b, *, newton_iters: int = _NEWTON_ITERS,
-                             fp32_tail: int = _FP32_TAIL,
+def pallas_band_solve_stream(W, b, *, newton_iters: int | None = None,
+                             fp32_tail: int | None = None,
                              n_valid: int | None = None):
     """Streaming batched banded solve for n beyond the VMEM tier.
 
@@ -518,6 +534,10 @@ def pallas_band_solve_stream(W, b, *, newton_iters: int = _NEWTON_ITERS,
             f"pallas_band_solve_stream supports n*kb <= {_MAX_NKB_STREAM}; "
             f"got {n}*{kb} — use ops.band.band_thomas_solve"
         )
+    if newton_iters is None or fp32_tail is None:
+        it, tl = _ns_schedule(nb)
+        newton_iters = it if newton_iters is None else newton_iters
+        fp32_tail = tl if fp32_tail is None else fp32_tail
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
     T = _STREAM_T
@@ -531,8 +551,8 @@ def pallas_band_solve_stream(W, b, *, newton_iters: int = _NEWTON_ITERS,
 
 
 @functools.partial(jax.jit, static_argnames=("newton_iters", "fp32_tail"))
-def pallas_band_solve_multi_stream(W, R, *, newton_iters: int = _NEWTON_ITERS,
-                                   fp32_tail: int = _FP32_TAIL):
+def pallas_band_solve_multi_stream(W, R, *, newton_iters: int | None = None,
+                                   fp32_tail: int | None = None):
     """Streaming batched banded MULTI-RHS solve (r <= 128); see
     :func:`pallas_band_solve_multi` for the contract.  Supports kb > 128
     block sizes like :func:`pallas_band_solve_stream`."""
@@ -550,6 +570,10 @@ def pallas_band_solve_multi_stream(W, R, *, newton_iters: int = _NEWTON_ITERS,
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
+    if newton_iters is None or fp32_tail is None:
+        it, tl = _ns_schedule(nb)
+        newton_iters = it if newton_iters is None else newton_iters
+        fp32_tail = tl if fp32_tail is None else fp32_tail
     W = W.astype(jnp.float32)
     R = R.astype(jnp.float32)
     if r_in != _K:
