@@ -79,22 +79,26 @@ def _mm(a, b, precision=jax.lax.Precision.HIGHEST):
                    precision=precision)
 
 
-def _ns_inverse_many(Ds, iters: int, fp32_tail: int = 2, k: int = _K):
+def _ns_inverse_many(Ds, iters: int, fp32_tail: int | None = None,
+                     k: int = _K):
     """Interleaved Newton-Schulz inverses of T [K, K] diagonally dominant
     blocks, Jacobi start (block_lu._inv_block rationale).  The T chains
     are independent — emitting them round-robin keeps the MXU pipeline
     full where a single chain would stall on every dependency.
 
-    Mixed passes: Newton is self-correcting (error squares each step), so
-    all but the last ``fp32_tail`` iterations run at single-pass bf16
-    matmul speed; the fp32 closers square the bf16-phase tail down to the
-    f32 floor.  Weakly dominant blocks (Jacobi spectral radius ~1-1e-4,
-    e.g. Schur blocks of barely-grounded mesh Laplacians) stall the bf16
-    phase around e~0.1 rather than its usual ~1e-2 floor, so they need
-    more closers: measured on the real v5e MXU for the band path's 25x40
-    mesh (interpret mode does not model bf16 and shows none of this),
-    (iters=12, tail=2) leaves 6.4e-2 rel err, (16, 4) reaches 2.7e-6.
+    ``fp32_tail`` sets how many closing iterations run 6-pass fp32; the
+    earlier ones run single-pass bf16.  DEFAULT IS ALL-fp32 (tail =
+    iters): near-singular Schur blocks of weakly grounded systems sit
+    within bf16 input noise (~4e-3) of the ||I − X0 D|| = 1 divergence
+    boundary, and full-batch residual audits on real v5e found individual
+    samples tipping over for every mixed schedule tried (band path:
+    residuals up to 1e16; this LU kernel: stalls to ~1e-3 median on the
+    same mesh).  Callers whose blocks are provably strongly dominant may
+    pass a small tail to reclaim the bf16 speed.  Interpret mode does not
+    model bf16 and shows none of this.
     """
+    if fp32_tail is None:
+        fp32_tail = iters  # all-fp32: the safe default (see above)
     I = _eye(k, Ds[0].dtype)
     I2 = 2.0 * I
     Xs = []
@@ -112,7 +116,9 @@ def _ns_inverse_many(Ds, iters: int, fp32_tail: int = 2, k: int = _K):
     return Xs
 
 
-def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int = 2):
+def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int | None = None):
+    if fp32_tail is None:
+        fp32_tail = iters
     """Right-looking no-pivot blocked LU on T VMEM matrix refs, panel
     steps interleaved across systems.
 
@@ -215,8 +221,8 @@ def _make_multi_kernel(n: int, iters: int, fp32_tail: int):
 
 
 @functools.partial(jax.jit, static_argnames=("newton_iters", "fp32_tail"))
-def pallas_lu_solve_multi(G, R, *, newton_iters: int = 12,
-                          fp32_tail: int = 2):
+def pallas_lu_solve_multi(G, R, *, newton_iters: int = 14,
+                          fp32_tail: int | None = None):
     """Batched dense no-pivot MULTI-RHS solve: ``G`` [B, n, n],
     ``R`` [B, n, r] with r <= 128 -> X [B, n, r].
 
@@ -275,7 +281,8 @@ def pallas_lu_solve_multi(G, R, *, newton_iters: int = 12,
 
 @functools.partial(jax.jit,
                    static_argnames=("newton_iters", "fp32_tail", "n_valid"))
-def pallas_lu_solve(G, b, *, newton_iters: int = 12, fp32_tail: int = 2,
+def pallas_lu_solve(G, b, *, newton_iters: int = 14,
+                    fp32_tail: int | None = None,
                     n_valid: int | None = None):
     """Batched dense no-pivot solve, ``_T`` VMEM-resident systems per
     kernel instance.  ``G`` [B, n, n], ``b`` [B, n] (f32) -> x [B, n].
