@@ -140,6 +140,23 @@ def _schur_supported(stamps: StampTensors) -> bool:
     return ok
 
 
+def _coo_residuals(stamps: StampTensors, params_batch, xs):
+    """Relative residuals straight from the COO stamp entries (no matrix
+    built): ``r = b − scatter_add(g_vals · x[cols])``, O(B·nnz).  Shared
+    by BatchedSolver.residuals (f64, host) and monte_carlo's fused audit
+    (sweep precision, on device); trace-time dtype follows the inputs."""
+    from nodal_tpu.models.stamps import stamp_values
+
+    g_vals, rhs_vals = jax.vmap(lambda p: stamp_values(stamps, p))(
+        params_batch)
+    gx = g_vals * xs[:, stamps.g_cols]
+    y = jnp.zeros_like(xs).at[:, stamps.g_rows].add(gx)
+    b = jnp.zeros_like(xs).at[:, stamps.rhs_rows].add(rhs_vals)
+    return jnp.max(jnp.abs(b - y), axis=1) / jnp.maximum(
+        jnp.max(jnp.abs(b), axis=1), 1.0
+    )
+
+
 def _stamps_of(circuit_or_stamps) -> StampTensors:
     """Accept a Circuit or bare StampTensors (native-parser output)."""
     stamps = getattr(circuit_or_stamps, "stamps", circuit_or_stamps)
@@ -523,30 +540,28 @@ class BatchedSolver:
         import contextlib
 
         from nodal_tpu.circuit import _cpu_device_or_none
-        from nodal_tpu.models.stamps import stamp_values
 
         params_batch = np.asarray(params_batch, dtype=np.float64)
         solutions = np.asarray(solutions, dtype=np.float64)
         stamps = self.stamps
 
-        @jax.jit
-        def audit_coo(pb, xs):
-            g_vals, rhs_vals = jax.vmap(
-                lambda p: stamp_values(stamps, p)
-            )(pb)
-            gx = g_vals * xs[:, stamps.g_cols]
-            y = jnp.zeros_like(xs).at[:, stamps.g_rows].add(gx)
-            b = jnp.zeros_like(xs).at[:, stamps.rhs_rows].add(rhs_vals)
-            r = b - y
-            return jnp.max(jnp.abs(r), axis=1) / jnp.maximum(
-                jnp.max(jnp.abs(b), axis=1), 1.0
-            )
+        audit = self.__dict__.get("_audit_fn")
+        if audit is None:
+
+            @jax.jit
+            def audit(pb, xs):
+                return _coo_residuals(stamps, pb, xs)
+
+            self._audit_fn = audit
 
         cpu = _cpu_device_or_none()
+        # enable_x64 scope: the audit must be genuinely f64 even when the
+        # session never enabled x64 (jnp.asarray would otherwise truncate
+        # the inputs to f32 and the audit would inherit the f32 floor).
         with (jax.default_device(cpu) if cpu is not None
-              else contextlib.nullcontext()):
-            return audit_coo(jnp.asarray(params_batch),
-                             jnp.asarray(solutions))
+              else contextlib.nullcontext()), jax.enable_x64(True):
+            return audit(jnp.asarray(params_batch),
+                         jnp.asarray(solutions))
 
     def params_with(self, overrides: dict[str, np.ndarray]):
         """Build a params batch from per-component value arrays.
@@ -658,20 +673,6 @@ def monte_carlo(
     # compiled program.
     run = getattr(solver, "_mc_run", None)
     if run is None:
-        from nodal_tpu.models.stamps import stamp_values
-
-        def coo_residuals(batch, xs):
-            # assembly-free relative residuals from the COO stamp entries
-            g_vals, rhs_vals = jax.vmap(
-                lambda p: stamp_values(stamps, p)
-            )(batch)
-            gx = g_vals * xs[:, stamps.g_cols]
-            y = jnp.zeros_like(xs).at[:, stamps.g_rows].add(gx)
-            b = jnp.zeros_like(xs).at[:, stamps.rhs_rows].add(rhs_vals)
-            return jnp.max(jnp.abs(b - y), axis=1) / jnp.maximum(
-                jnp.max(jnp.abs(b), axis=1), 1.0
-            )
-
         @functools.partial(jax.jit, static_argnames=("n", "want", "check"))
         def run(key, base, slots, sigmas, n, want, check):
             noise = jax.random.normal(key, (n, slots.shape[0]),
@@ -683,7 +684,7 @@ def monte_carlo(
             mean = jnp.mean(xs, axis=0)
             std = jnp.std(xs, axis=0)
             if check:
-                res = coo_residuals(batch, xs.astype(batch.dtype))
+                res = _coo_residuals(stamps, batch, xs.astype(batch.dtype))
                 audit_out = (jnp.max(res),
                              jnp.sum(res > _AUDIT_WARN_TOL))
             else:

@@ -60,14 +60,16 @@ _MAX_N = 2048
 #: e below 1 for the same blocks (audited clean at every size).  Depth
 #: scales the iteration count: convergence needs 2^k ≳ 14/(1−e0) and
 #: λmin shrinks with the eliminated-region size.
-_FP32_ITERS = 16        # nb <= 8  (n <= 1024 at kb=128)
-_FP32_ITERS_DEEP = 22   # longer chains (λmin ~ 1/region-size)
-_DEEP_NB = 8
+_FP32_ITERS = 16        # regions up to 1024 unknowns
+_FP32_ITERS_DEEP = 22   # larger eliminated regions (λmin ~ 1/region-size)
+_DEEP_N = 1024
 
 
-def _ns_schedule(nb: int) -> tuple[int, int]:
-    """(newton_iters, fp32_tail) by chain depth — see the note above."""
-    it = _FP32_ITERS if nb <= _DEEP_NB else _FP32_ITERS_DEEP
+def _ns_schedule(nb: int, kb: int) -> tuple[int, int]:
+    """(newton_iters, fp32_tail) by eliminated-region size nb·kb — the
+    divergence physics scales with the region's node count, not its block
+    count (a kb=256 band at nb=8 covers 2048 nodes)."""
+    it = _FP32_ITERS if nb * kb <= _DEEP_N else _FP32_ITERS_DEEP
     return it, it
 
 
@@ -233,10 +235,12 @@ def pallas_band_solve(W, b, *, newton_iters: int | None = None,
             f"pallas_band_solve supports n <= {_MAX_N} (VMEM budget); got "
             f"{n} — use pallas_band_solve_stream"
         )
-    if newton_iters is None or fp32_tail is None:
-        it, tl = _ns_schedule(nb)
-        newton_iters = it if newton_iters is None else newton_iters
-        fp32_tail = tl if fp32_tail is None else fp32_tail
+    if newton_iters is None:
+        newton_iters, default_tail = _ns_schedule(nb, kb)
+    else:
+        default_tail = newton_iters  # caller-raised counts stay all-fp32
+    if fp32_tail is None:
+        fp32_tail = default_tail
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
     T = _pick_T(nb, multi=False)
@@ -291,10 +295,12 @@ def pallas_band_solve_multi(W, R, *, newton_iters: int | None = None,
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
-    if newton_iters is None or fp32_tail is None:
-        it, tl = _ns_schedule(nb)
-        newton_iters = it if newton_iters is None else newton_iters
-        fp32_tail = tl if fp32_tail is None else fp32_tail
+    if newton_iters is None:
+        newton_iters, default_tail = _ns_schedule(nb, kb)
+    else:
+        default_tail = newton_iters  # caller-raised counts stay all-fp32
+    if fp32_tail is None:
+        fp32_tail = default_tail
     W = W.astype(jnp.float32)
     R = R.astype(jnp.float32)
     if r_in != _K:
@@ -534,10 +540,12 @@ def pallas_band_solve_stream(W, b, *, newton_iters: int | None = None,
             f"pallas_band_solve_stream supports n*kb <= {_MAX_NKB_STREAM}; "
             f"got {n}*{kb} — use ops.band.band_thomas_solve"
         )
-    if newton_iters is None or fp32_tail is None:
-        it, tl = _ns_schedule(nb)
-        newton_iters = it if newton_iters is None else newton_iters
-        fp32_tail = tl if fp32_tail is None else fp32_tail
+    if newton_iters is None:
+        newton_iters, default_tail = _ns_schedule(nb, kb)
+    else:
+        default_tail = newton_iters  # caller-raised counts stay all-fp32
+    if fp32_tail is None:
+        fp32_tail = default_tail
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
     T = _STREAM_T
@@ -570,10 +578,12 @@ def pallas_band_solve_multi_stream(W, R, *, newton_iters: int | None = None,
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
-    if newton_iters is None or fp32_tail is None:
-        it, tl = _ns_schedule(nb)
-        newton_iters = it if newton_iters is None else newton_iters
-        fp32_tail = tl if fp32_tail is None else fp32_tail
+    if newton_iters is None:
+        newton_iters, default_tail = _ns_schedule(nb, kb)
+    else:
+        default_tail = newton_iters  # caller-raised counts stay all-fp32
+    if fp32_tail is None:
+        fp32_tail = default_tail
     W = W.astype(jnp.float32)
     R = R.astype(jnp.float32)
     if r_in != _K:

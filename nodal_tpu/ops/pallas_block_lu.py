@@ -117,13 +117,13 @@ def _ns_inverse_many(Ds, iters: int, fp32_tail: int | None = None,
 
 
 def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int | None = None):
-    if fp32_tail is None:
-        fp32_tail = iters
     """Right-looking no-pivot blocked LU on T VMEM matrix refs, panel
     steps interleaved across systems.
 
     Packed format: diagonal blocks hold Dinv, sub-diagonal panels hold L,
     super-diagonal rows hold U (Schur-stage values, untouched later)."""
+    if fp32_tail is None:
+        fp32_tail = iters
     nb = n // _K
     for t in range(nb):
         lo, hi = t * _K, (t + 1) * _K
