@@ -124,15 +124,21 @@ class Circuit:
         t0 = time.perf_counter()
         stats: dict = {"dtype": str(self.dtype), "backend": jax.default_backend()}
         with self._device_scope():
-            params = jnp.asarray(self.stamps.params, dtype=self.dtype)
             if self.sparse:
                 from nodal_tpu.ops.sparse import solve_sparse_system
 
-                x, info = solve_sparse_system(self.stamps, params, dtype=self.dtype)
+                # Host numpy params: the general (bordered-elimination)
+                # sparse path runs entirely host-side, and pre-placing an
+                # f64 array on a remote accelerator forces a pathological
+                # fetch-back (see ops/sparse.py).
+                x, info = solve_sparse_system(
+                    self.stamps, self.stamps.params, dtype=self.dtype
+                )
                 residual = info.residual
-                stats["method"] = "krylov"
+                stats["method"] = getattr(info, "method", "") or "krylov"
                 stats["iterations"] = int(info.iterations)
             else:
+                params = jnp.asarray(self.stamps.params, dtype=self.dtype)
                 x, residual, method = self._solve_dense(params)
                 stats["method"] = method
 
@@ -240,17 +246,34 @@ class Circuit:
         """Last-resort native-f64 solve on the host CPU backend, for systems
         too ill-conditioned for the primary path (e.g. f32-factored opamp
         macromodels).  Everything stays on CPU — emulated-f64 assembly on a
-        TPU default device would pay a pointless slow compile."""
+        TPU default device would pay a pointless slow compile.
+
+        Above the dense cap the rescue is the bordered block elimination
+        (ops/sparse_schur.py): AMG-CG on the resistively-grounded node
+        block + dense pivoted Schur complement on the small border — the
+        same direct-quality f64 machinery the sparse path uses, so circuit
+        size no longer bounds what the framework can solve (round-2 review:
+        the n>16,384 path previously returned NaN + error unconditionally).
+        """
         if self.stamps.n > _DENSE_RESCUE_MAX_N:
-            # A dense n^2 f64 rescue is senseless at this scale (and a
-            # stalled-but-solvable Krylov run must not masquerade as
-            # singular via an allocation failure).
-            logger.error(
-                "iterative solve did not converge on %d unknowns; dense "
-                "rescue skipped (limit %d)",
-                self.stamps.n, _DENSE_RESCUE_MAX_N,
-            )
-            return np.full(self.stamps.n, np.nan), np.inf
+            from nodal_tpu.ops.sparse_schur import (general_plan,
+                                                    solve_general_sparse)
+
+            try:
+                if not general_plan(self.stamps).viable:
+                    raise ValueError("border too large")
+                x, info = solve_general_sparse(self.stamps,
+                                               self.stamps.params)
+                return np.asarray(x, dtype=np.float64), float(info.residual)
+            except np.linalg.LinAlgError:
+                return np.full(self.stamps.n, np.nan), np.inf
+            except Exception:
+                logger.error(
+                    "iterative solve did not converge on %d unknowns and "
+                    "the bordered-elimination rescue is not applicable",
+                    self.stamps.n,
+                )
+                return np.full(self.stamps.n, np.nan), np.inf
         logger.debug("primary solve failed residual check; retrying on CPU f64")
         cpu = _cpu_device_or_none()
         scope = (
@@ -304,9 +327,19 @@ class Circuit:
 
     def build_model(self):
         """Materialize ``(G, b)`` as numpy arrays — debugging/parity helper
-        mirroring the reference Circuit.build_model output (nodal.py:338-398)."""
-        G, b = assemble_dense(self.stamps, self.stamps.params, dtype=jnp.float64)
-        return np.asarray(G), np.asarray(b)
+        mirroring the reference Circuit.build_model output (nodal.py:338-398).
+
+        Pinned to the host CPU backend: this is f64 inspection work, and on
+        a remote accelerator the assembly + fetch of an n² emulated-f64
+        matrix takes minutes (measured 210 s at n=4k through the tunnel).
+        """
+        cpu = _cpu_device_or_none()
+        scope = (jax.default_device(cpu) if cpu is not None
+                 else contextlib.nullcontext())
+        with scope:
+            G, b = assemble_dense(self.stamps, self.stamps.params,
+                                  dtype=jnp.float64)
+            return np.asarray(G), np.asarray(b)
 
 
 def _resolve_device(device):

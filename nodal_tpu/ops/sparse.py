@@ -105,21 +105,52 @@ _AMG_THRESHOLD_N = 100_000
 
 
 def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None,
-                        rhs=None, preconditioner: str = "auto"):
-    """Solve the full MNA system iteratively.  Returns ``(x, SolveInfo)``.
+                        rhs=None, preconditioner: str = "auto",
+                        general: str = "auto"):
+    """Solve the full MNA system sparsely.  Returns ``(x, SolveInfo)``.
 
-    CG for SPD systems (purely resistive), BiCGStab for general MNA.
-    Preconditioner: ``jacobi``, ``amg`` (aggregation AMG, SPD only), or
-    ``auto`` (AMG for SPD systems above ~100k unknowns).  ``rhs`` overrides
-    the netlist's own source vector (used by the equivalent-resistance
-    probe injection).
+    Purely resistive systems are SPD and solve with preconditioned CG
+    (``jacobi``, ``amg``, or ``auto`` — AMG above ~100k unknowns).  Systems
+    with branch equations (E/controlled sources make G indefinite) default
+    to the bordered block elimination of :mod:`nodal_tpu.ops.sparse_schur`
+    — AMG-CG on the resistively-grounded node block plus a small dense
+    pivoted Schur complement, the SuperLU-robustness role (reference
+    nodal.py:325) — falling back to Jacobi-BiCGStab only when the border is
+    too large (``general='krylov'`` forces the fallback; ``'schur'`` forces
+    the elimination).  ``rhs`` overrides the netlist's own source vector
+    (used by the equivalent-resistance probe injection).
     """
     topo = _topology(stamps)
+
+    spd = stamps.n == stamps.n_kcl  # no branch equations -> grounded Laplacian
+    if not spd and general != "krylov":
+        from nodal_tpu.ops.sparse_schur import (general_plan,
+                                                solve_general_sparse)
+
+        plan = general_plan(stamps)
+        if plan.viable or general == "schur":
+            # Entirely host-side: np.asarray happens on the *original*
+            # argument before any device placement, and the result stays
+            # numpy.  Fetching an emulated-f64 array back from a remote
+            # TPU blocks for minutes (measured: np.asarray of a [4k] f64
+            # device array through the axon tunnel > 300 s), so this path
+            # must never round-trip through the accelerator.
+            gtol = tol
+            if gtol is None:
+                gtol = 1e-10 if np.dtype(dtype or np.float64) == np.float64 \
+                    else 1e-6
+            x, info = solve_general_sparse(
+                stamps,
+                np.asarray(params, dtype=np.float64),
+                rhs=None if rhs is None else np.asarray(rhs, np.float64),
+                tol=max(float(gtol), 1e-12),
+            )
+            return x.astype(np.dtype(dtype) if dtype is not None
+                            else np.float64), info
+
     params = jnp.asarray(params, dtype=dtype)
     if tol is None:
         tol = 1e-10 if params.dtype == jnp.float64 else 1e-6
-
-    spd = stamps.n == stamps.n_kcl  # no branch equations -> grounded Laplacian
     if preconditioner == "auto":
         preconditioner = (
             "amg" if spd and stamps.n >= _AMG_THRESHOLD_N else "jacobi"

@@ -105,7 +105,8 @@ def _try_native(args) -> bool:
     if args.stats:
         print(
             f"parse: {t1 - t0:.4f}s  compile+solve: {t2 - t1:.4f}s  "
-            f"method: native+krylov  residual: {float(info.residual):.2e}  "
+            f"method: native+{getattr(info, 'method', '') or 'krylov'}  "
+            f"residual: {float(info.residual):.2e}  "
             f"iterations: {int(info.iterations)}",
             file=sys.stderr,
         )

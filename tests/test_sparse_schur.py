@@ -1,0 +1,213 @@
+"""Bordered block elimination for general sparse MNA (ops/sparse_schur.py).
+
+This is the SuperLU-robustness role (reference nodal.py:325): any circuit
+structure — voltage/controlled sources, source-held nodes, opamp
+macromodels — at sizes far beyond the dense paths, solved to direct-method
+accuracy in f64.  Round-2 review item #1.
+"""
+
+import numpy as np
+import pytest
+
+from nodal_tpu import Circuit, Netlist
+from nodal_tpu.ops.sparse_schur import (
+    general_plan,
+    resistively_grounded_nodes,
+    solve_general_sparse,
+)
+from nodal_tpu.utils.gridgen import grid_rows
+
+
+def _mesh_with_sources(h, w, *, ground_resistor=True):
+    """An h×w resistor mesh plus E/VCCS/CCCS sources.
+
+    ``ground_resistor=False`` leaves the mesh grounded ONLY through the E
+    sources (no resistor touches ground) — the partition must then anchor
+    the floating resistor component at a representative node.
+    """
+    probe = (0, 0) if ground_resistor else None
+    rows = list(grid_rows(h, w, None, probe))
+    name = "g" if ground_resistor else f"n{h-1}_{w-1}"
+    rows.append(["e1", "E", "2", "n0_1", "g"])
+    rows.append(["e2", "E", "-1", "n1_0", "g"])
+    rows.append(["d1", "VCCS", "0.5", "n2_2", "g", "n0_1", "g"])
+    rows.append(["rdrv", "R", "2", "n3_1", "n3_2"])
+    rows.append(["f1", "CCCS", "1.5", "n2_1", "g", "n3_1", "n3_2", "rdrv"])
+    del name
+    return Netlist.from_rows(rows)
+
+
+def _dense_reference(circuit):
+    G, b = circuit.build_model()
+    return np.linalg.solve(G, b)
+
+
+@pytest.mark.parametrize("ground_resistor", [True, False])
+def test_matches_dense_f64(ground_resistor):
+    nl = _mesh_with_sources(8, 12, ground_resistor=ground_resistor)
+    c = Circuit(nl, sparse=True)
+    x, info = solve_general_sparse(c.stamps, c.stamps.params, tol=1e-10)
+    expected = _dense_reference(c)
+    err = np.max(np.abs(x - expected)) / np.max(np.abs(expected))
+    assert bool(info.converged)
+    assert float(info.residual) <= 1e-10
+    assert err < 1e-8
+    assert info.method == "schur"
+
+
+def test_partition_grounded_mesh():
+    """All nodes of a resistively grounded mesh land in K1; the border is
+    exactly the branch rows."""
+    nl = _mesh_with_sources(6, 6, ground_resistor=True)
+    c = Circuit(nl, sparse=True)
+    plan = general_plan(c.stamps)
+    kbe = c.stamps.n - c.stamps.n_kcl
+    assert plan.m == kbe
+    assert plan.n1 == c.stamps.n_kcl
+    assert resistively_grounded_nodes(c.stamps).all()
+
+
+def test_partition_e_only_grounding():
+    """A mesh grounded only through E sources: one representative node per
+    floating resistor component moves to the border (SPD anchor)."""
+    nl = _mesh_with_sources(6, 6, ground_resistor=False)
+    c = Circuit(nl, sparse=True)
+    plan = general_plan(c.stamps)
+    kbe = c.stamps.n - c.stamps.n_kcl
+    assert not resistively_grounded_nodes(c.stamps).any()
+    assert plan.m == kbe + 1  # one anchor node joins the border
+    assert plan.n1 == c.stamps.n_kcl - 1
+
+
+def test_no_resistors_at_all():
+    """Pure-source circuit: empty K1, whole system solved as the dense
+    border (reference handles this through SuperLU as well)."""
+    nl = Netlist.from_rows([
+        ["e1", "E", "3", "1", "g"],
+        ["e2", "E", "1", "2", "1"],
+        ["r1", "R", "1", "2", "g"],  # one resistor so G is nonsingular
+    ])
+    c = Circuit(nl, sparse=True)
+    x, info = solve_general_sparse(c.stamps, c.stamps.params)
+    expected = _dense_reference(c)
+    assert np.allclose(x, expected, atol=1e-9)
+    sol = c.solve()
+    assert abs(sol.potential("1") - 3.0) < 1e-9
+    assert abs(sol.potential("2") - 4.0) < 1e-9
+
+
+def test_circuit_sparse_routes_through_schur():
+    nl = _mesh_with_sources(10, 10, ground_resistor=True)
+    sol = Circuit(nl, sparse=True).solve()
+    assert sol.stats["method"] == "schur"
+    expected = _dense_reference(Circuit(nl))
+    err = np.max(np.abs(sol.result - expected)) / np.max(np.abs(expected))
+    assert err < 1e-8
+
+
+def test_disconnected_island_raises_unconnected():
+    """A fully floating resistor island: the uniform singularity gate must
+    surface UnconnectedCircuitError, not NaNs (quirk Q3 stays fixed on the
+    bordered-elimination path)."""
+    from nodal_tpu.netlist import UnconnectedCircuitError
+
+    rows = list(grid_rows(4, 4, (0, 0), (3, 3)))
+    rows.append(["ri", "R", "1", "x1", "x2"])
+    rows.append(["e1", "E", "1", "1", "g"])
+    nl = Netlist.from_rows(rows)
+    with pytest.raises(UnconnectedCircuitError):
+        Circuit(nl, sparse=True).solve()
+
+
+def test_singular_but_connected_raises_linalgerror():
+    """An island tied into the graph only through a VCCS *output* keeps the
+    island potentials' columns linearly dependent (x1+x2 null direction):
+    G is singular while the circuit graph is connected — must raise
+    LinAlgError through the same surface as the reference's dense path."""
+    from numpy.linalg import LinAlgError
+
+    rows = list(grid_rows(4, 4, (0, 0), (3, 3)))
+    rows.append(["ri", "R", "1", "x1", "x2"])
+    # VCCS output into x1 (graph edge x1-g) driven by main-mesh control:
+    # island potentials stay free up to a constant -> singular columns.
+    rows.append(["dv", "VCCS", "0.5", "x1", "g", "1", "g"])
+    rows.append(["e1", "E", "1", "1", "g"])
+    nl = Netlist.from_rows(rows)
+    with pytest.raises(LinAlgError):
+        Circuit(nl, sparse=True).solve()
+
+
+def test_opmodel_chain_ill_conditioned():
+    """Chained OPMODEL buffers (cond ~1e12 spread: Ri=1e7, Ro=10,
+    gain=1e5) through the sparse path — the conditioning stress case the
+    dense rescue used to own."""
+    rows = []
+    prev = "in"
+    rows.append(["e1", "E", "1", "in", "g"])
+    for k in range(4):
+        out = f"b{k}"
+        # Voltage-buffer OPMODEL (row layout as examples/
+        # opmodel_voltage_buffer.csv): rf=0, output node, ground side,
+        # pos input, neg input (= output, direct feedback).
+        rows.append([f"op{k}", "OPMODEL", "0", out, "g", prev, out])
+        rows.append([f"rl{k}", "R", "1000", out, "g"])
+        prev = out
+    nl = Netlist.from_rows(rows)
+    c = Circuit(nl, sparse=True)
+    sol = c.solve()
+    # Every buffer output tracks the input voltage 1 V (gain error ~1e-5).
+    for k in range(4):
+        assert abs(sol.potential(f"b{k}") - 1.0) < 1e-3
+    expected = _dense_reference(c)
+    err = np.max(np.abs(sol.result - expected)) / np.max(np.abs(expected))
+    assert err < 1e-6
+
+
+def test_large_general_circuit_via_rescue_cap():
+    """Above the dense-rescue cap the bordered elimination IS the rescue:
+    force the primary iterative path to fail and check the rescue solves
+    (round-2 review: >16,384 unknowns used to return NaN + error)."""
+    import nodal_tpu.circuit as circuit_mod
+
+    nl = _mesh_with_sources(16, 16, ground_resistor=True)
+    c = Circuit(nl, sparse=True)
+    expected = _dense_reference(c)
+
+    # Simulate "too big for dense rescue" by shrinking the cap, and a
+    # failed primary solve by monkeypatch-free means: call _rescue directly.
+    old_cap = circuit_mod._DENSE_RESCUE_MAX_N
+    circuit_mod._DENSE_RESCUE_MAX_N = 10
+    try:
+        x, residual = c._rescue()
+    finally:
+        circuit_mod._DENSE_RESCUE_MAX_N = old_cap
+    err = np.max(np.abs(x - expected)) / np.max(np.abs(expected))
+    assert residual < 1e-8
+    assert err < 1e-8
+
+
+def test_refinement_escalation_reaches_tol():
+    """With a deliberately terrible setup tolerance the defect correction
+    must still land at the target (by extra passes or the rebuild-at-tol
+    escalation)."""
+    nl = _mesh_with_sources(8, 8, ground_resistor=True)
+    c = Circuit(nl, sparse=True)
+    x, info = solve_general_sparse(
+        c.stamps, c.stamps.params, tol=1e-10, setup_tol=1e-2
+    )
+    assert bool(info.converged), float(info.residual)
+    assert float(info.residual) <= 1e-10
+
+
+def test_rhs_override():
+    """The probe-injection rhs= path (equivalent-resistance machinery)."""
+    nl = _mesh_with_sources(6, 8, ground_resistor=True)
+    c = Circuit(nl, sparse=True)
+    rhs = np.zeros(c.stamps.n)
+    rhs[0] = 1.0
+    rhs[5] = -1.0
+    x, info = solve_general_sparse(c.stamps, c.stamps.params, rhs=rhs)
+    assert bool(info.converged)
+    G, _ = c.build_model()
+    expected = np.linalg.solve(G, rhs)
+    assert np.allclose(x, expected, atol=1e-8)
