@@ -14,8 +14,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# XLA:CPU records compile-time tuning prefs (prefer-no-scatter/gather) as
+# "machine features" and logs a spurious could-lead-to-SIGILL error on
+# every persistent-cache load, even on the machine that compiled them.
+# Real cross-host feature mismatches are prevented by the cache's
+# host-fingerprint salt (utils/cache.py); this only silences the cosmetic
+# native log so the bench line stays clean.  XLA logging initializes when
+# jax first loads — which sitecustomize may do at interpreter startup,
+# before any line of this file — so a one-time re-exec with the env set is
+# the only reliable hook.
+if os.environ.get("_NODAL_BENCH_REEXEC") != "1":
+    os.environ["_NODAL_BENCH_REEXEC"] = "1"
+    os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import numpy as np
 
@@ -60,19 +75,23 @@ def _branch_circuit(n_nodes):
     return Circuit(Netlist.from_rows(rows))
 
 
-def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto"):
+def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto",
+                         refine: bool = False):
     """Throughput of the structure-aware batched solver.
 
     Timing is forced honest: a device-side checksum of every solution batch
     is fetched to the host inside the timed region (``block_until_ready``
     alone does not synchronize through the remote-TPU tunnel).
+    ``refine=True`` benches the f64-residual-refined tier (the ≤1e-6
+    accuracy contract at f32-kernel speed).
     """
     import jax
     import jax.numpy as jnp
 
     from nodal_tpu.batch import BatchedSolver
 
-    solver = BatchedSolver(circuit, dtype=jnp.float32, method=method)
+    solver = BatchedSolver(circuit, dtype=jnp.float32, method=method,
+                           refine=refine)
 
     rng = np.random.default_rng(0)
     base = circuit.stamps.params.astype(np.float32)
@@ -110,6 +129,66 @@ def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto"):
     # the deep-chain bf16 Newton-Schulz schedule.
     audit = float(jnp.max(solver.residuals(np.asarray(mega), np.asarray(out))))
     return solves_per_sec, dt, err, audit, solver.method
+
+
+def bench_general_sparse(n_nodes: int):
+    """The SuperLU-robustness metric (round-2 review item #1): a large
+    general MNA system — resistor mesh + E + VCCS + CCCS, grounded ONLY
+    through the voltage sources — solved via the `-s` bordered block
+    elimination (ops/sparse_schur.py) with an independent host-f64 COO
+    residual audit.  Reference point: SuperLU solves 40k nodes in 0.79 s
+    after 9.25 s of Python stamping (BASELINE.md); nodal_tpu's path has no
+    SuperLU to call and must match that robustness with AMG-CG + a dense
+    Schur border.
+
+    Reports cold (first solve: AMG setup + XLA compiles) and warm
+    (factorization-cache hit) wall times.
+    """
+    import numpy as np
+
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.models.stamps import stamp_values_np
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    h = 100
+    w = max(n_nodes // h, 8)
+    rows = list(grid_rows(h, w))
+    # Distinct columns (duplicate E node pairs would be contradictory
+    # constraints — a genuinely singular system — on small smoke runs).
+    e_cols = list(range(1, w, max(w // 32, 1)))[:32]
+    d_cols = list(range(2, w, max(w // 16, 1)))[:16]
+    for k, col in enumerate(e_cols):
+        rows.append([f"e{k}", "E", str(1.0 + 0.1 * k), f"n0_{col}", "g"])
+    for k, col in enumerate(d_cols):
+        rows.append([f"d{k}", "VCCS", "0.3", f"n{h // 2}_{col}", "g",
+                     f"n0_{e_cols[k % len(e_cols)]}", "g"])
+    rows.append(["rdrv", "R", "2", f"n{h - 1}_5", f"n{h - 1}_6"])
+    rows.append(["f1", "CCCS", "1.5", f"n{h // 3}_4", "g",
+                 f"n{h - 1}_5", f"n{h - 1}_6", "rdrv"])
+    c = Circuit(Netlist.from_rows(rows), sparse=True)
+
+    t0 = time.perf_counter()
+    sol = c.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = c.solve()
+    warm = time.perf_counter() - t0
+
+    # Independent audit: f64 COO residual straight from the stamp entries.
+    g_vals, rhs_vals = stamp_values_np(c.stamps, c.stamps.params)
+    b = np.zeros(c.stamps.n)
+    np.add.at(b, c.stamps.rhs_rows, rhs_vals)
+    y = np.zeros(c.stamps.n)
+    np.add.at(y, c.stamps.g_rows, g_vals * sol.result[c.stamps.g_cols])
+    rel = float(np.max(np.abs(b - y)) / max(np.max(np.abs(b)), 1.0))
+    return {
+        "sparse_nodes": c.stamps.n_kcl,
+        "sparse_method": sol.stats["method"],
+        "sparse_cold_s": round(cold, 2),
+        "sparse_warm_s": round(warm, 2),
+        "sparse_rel_residual_f64": rel,
+        "sparse_iterations": sol.stats.get("iterations"),
+    }
 
 
 def bench_grid(n: int, tol: float, k: int = 4):
@@ -177,6 +256,10 @@ def main(argv=None):
                         help="streaming-band-tier metric (0 disables): a "
                         "25-row mesh past the VMEM-resident kernel's limit")
     parser.add_argument("--midsize-batch", type=int, default=256)
+    parser.add_argument("--sparse-nodes", type=int, default=100_000,
+                        help="node count for the general-sparse (`-s` "
+                        "bordered elimination) metric")
+    parser.add_argument("--skip-sparse", action="store_true")
     args = parser.parse_args(argv)
 
     import jax
@@ -226,11 +309,14 @@ def main(argv=None):
                 "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
             }
         )
-    if not args.skip_general and args.midsize_nodes:
+    if args.midsize_nodes:
         # Mid-size tier: past the VMEM-resident band kernel, exercising the
-        # streaming (grid-pipelined) block-Thomas path.
+        # streaming (grid-pipelined) block-Thomas path — f32 fast tier and
+        # the f64-residual-refined tier side by side (round-2 review item
+        # #2: the ≤1e-6 accuracy claim must carry a measured cost).
+        mid_circuit = _mesh_circuit(args.midsize_nodes)
         mid_sps, mid_dt, mid_err, mid_audit, mid_method = bench_batched_solves(
-            _mesh_circuit(args.midsize_nodes), args.midsize_batch, 2
+            mid_circuit, args.midsize_batch, 2
         )
         extra.update(
             {
@@ -241,6 +327,18 @@ def main(argv=None):
                 "midsize_max_residual": mid_audit,
             }
         )
+        ref_sps, _, ref_err, ref_audit, _ = bench_batched_solves(
+            mid_circuit, args.midsize_batch, 2, refine=True
+        )
+        extra.update(
+            {
+                "midsize_refined_solves_per_sec": round(ref_sps, 2),
+                "midsize_refined_rel_err_vs_f64": ref_err,
+                "midsize_refined_max_residual": ref_audit,
+            }
+        )
+    if not args.skip_sparse:
+        extra.update(bench_general_sparse(args.sparse_nodes))
     if not args.skip_grid:
         r, grid_dt, iters, marginal = bench_grid(args.grid, args.grid_tol)
         extra.update(

@@ -114,8 +114,19 @@ def _schur_supported(stamps: StampTensors) -> bool:
     rows/columns — see ops.block_lu.schur_solve), so SPD-ness means every
     node is resistively tied to ground directly or transitively.  A node
     held only by voltage sources makes A singular; those circuits take the
-    pivoted dense path.  One f64 numpy Cholesky at the netlist's default
-    parameters, cached on the stamps object.
+    pivoted dense path.  The probe runs once per topology at the netlist's
+    default parameters and is cached on the stamps object:
+
+    * nk ≤ 8192 — dense f64 Cholesky (cheap at this size);
+    * nk  > 8192 — banded f64 Cholesky (LAPACK pbtrf) on the RCM-reordered
+      node block.  Large node blocks only ride the Schur fast path through
+      the banded multi-RHS kernel anyway, so "bandable" is a precondition,
+      not a restriction — this lifts the round-2 nk ≤ 8192 cap (branch
+      circuits beyond it silently fell to ~820/s pivoted LU).
+
+    Both probes share the margin rule: a barely-positive pivot means the
+    f32 no-pivot kernels will blow up even though f64 Cholesky squeaked
+    through.
     """
     cached = getattr(stamps, "_schur_ok", None)
     if cached is not None:
@@ -131,13 +142,49 @@ def _schur_supported(stamps: StampTensors) -> bool:
         np.add.at(A, (stamps.g_rows[mask], stamps.g_cols[mask]), g_np[mask])
         try:
             L = np.linalg.cholesky(A)
-            # Margin: a barely-positive pivot means f32 block-LU will blow
-            # up even though f64 Cholesky squeaked through.
             ok = bool(np.min(np.diag(L)) > 1e-6 * np.max(np.diag(L)))
         except np.linalg.LinAlgError:
             ok = False
+    elif nk > 8192 and stamps.n > nk:
+        from nodal_tpu.ops.band import node_band_plan
+
+        plan = node_band_plan(stamps)
+        if plan is not None and plan.nb >= 2:
+            ok = _banded_spd_probe(stamps, plan)
     stamps._schur_ok = ok  # type: ignore[attr-defined]
     return ok
+
+
+def _banded_spd_probe(stamps: StampTensors, plan) -> bool:
+    """f64 banded Cholesky (scipy pbtrf) of the RCM-reordered node block.
+
+    O(nk·halfbw²) LAPACK work — seconds at nk=20k — versus the dense
+    probe's O(nk³)/O(nk²·8B) which is unpayable past ~8k.  Returns False
+    (not an exception) for non-SPD blocks, with the same relative pivot
+    margin as the dense probe.
+    """
+    import scipy.linalg as sla
+
+    from nodal_tpu.models.stamps import stamp_values_np
+
+    nk = stamps.n_kcl
+    g_np, _ = stamp_values_np(stamps, stamps.params)
+    mask = (stamps.g_rows < nk) & (stamps.g_cols < nk)
+    r = plan.rank[stamps.g_rows[mask].astype(np.int64)]
+    c = plan.rank[stamps.g_cols[mask].astype(np.int64)]
+    v = g_np[mask]
+    upper = c >= r
+    u = plan.halfbw
+    ab = np.zeros((u + 1, nk))
+    np.add.at(ab, (u + r[upper] - c[upper], c[upper]), v[upper])
+    try:
+        with np.errstate(all="ignore"):
+            cb = sla.cholesky_banded(ab, lower=False)
+        d = cb[u, :]
+        return bool(np.all(np.isfinite(d))
+                    and np.min(d) > 1e-6 * np.max(d))
+    except Exception:
+        return False
 
 
 def _coo_residuals(stamps: StampTensors, params_batch, xs):
@@ -420,7 +467,7 @@ class BatchedSolver:
                 and jnp.dtype(dtype) == jnp.float32
                 and kbe < _K
             )
-            nplan = node_band_plan(self.stamps) if on_tpu_f32 else None
+            nplan = node_band_plan(self.stamps)
             if on_tpu_f32 and nplan is not None and nplan.nb >= 2 \
                     and (nplan.kb == 128 or nplan.n > 1024) \
                     and band_fits_stream(nplan.n_pad, nplan.kb):
@@ -444,6 +491,37 @@ class BatchedSolver:
                         xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
                         xk_band = yb - (YB @ xb[..., None])[..., 0]
                     xk = nplan.unpermute(xk_band)
+                    return jnp.concatenate([xk, xb], axis=-1)
+
+                self._solve = jax.jit(solve_batch)
+                return
+
+            if nplan is not None and nplan.nb >= 2 and nk > 2048:
+                # Large bandable node block off the TPU-f32 kernels (CPU
+                # backend, f64, or refine=True): the XLA scan block-Thomas
+                # multi-RHS.  Dense assembly would materialize an n² matrix
+                # per sample — 1.6 GB at nk=20k — so the band tier is the
+                # only viable one here; it is also what lets the banded
+                # SPD probe lift the old nk ≤ 8192 cap off-TPU.
+                from nodal_tpu.ops.band import band_thomas_solve
+
+                sdtype = jnp.float64 if refine else dtype
+                assemble = _schur_band_assembler(self.stamps, sdtype, nplan)
+
+                def solve_batch(params_batch):
+                    W, Bm, C, D, bk, bb = jax.vmap(assemble)(params_batch)
+                    R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
+                    Y = band_thomas_solve(W, R)
+                    YB = Y[..., :kbe]
+                    yb = Y[..., kbe]
+                    with jax.default_matmul_precision("highest"):
+                        S = D - C @ YB
+                        rhs_b = bb - (C @ yb[..., None])[..., 0]
+                        xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
+                        xk_band = yb - (YB @ xb[..., None])[..., 0]
+                    xk = nplan.unpermute(xk_band)
+                    # refine=True computes in f64 and returns f64, matching
+                    # the other refined paths' convention.
                     return jnp.concatenate([xk, xb], axis=-1)
 
                 self._solve = jax.jit(solve_batch)
@@ -628,7 +706,7 @@ def monte_carlo(
     dtype=jnp.float32,
     refine: bool = False,
     return_solutions: bool = False,
-    audit: bool = True,
+    audit: bool | str = True,
 ):
     """Monte Carlo component-tolerance sweep, fully on device.
 
@@ -648,8 +726,9 @@ def monte_carlo(
     the diagonal-dominance domain the no-pivot tridiag / block fast paths
     assume — a silent-wrong-answer regime.  The fused check runs at the
     sweep's own precision (~1e-6 floor in f32 — three decades below the
-    warn level); call :meth:`BatchedSolver.residuals` on ``solutions`` for
-    the exact f64 audit.
+    warn level); pass ``audit="exact"`` for a host-f64
+    :meth:`BatchedSolver.residuals` audit of every sample (the exact
+    number, at the cost of fetching the whole solution batch).
 
     ``circuit`` may also be bare :class:`StampTensors` from the native
     parser — its lazy param_slot resolves the tolerance names in C++.
@@ -693,11 +772,27 @@ def monte_carlo(
 
         solver._mc_run = run
 
-    mean, std, xs, audit_out = run(jax.random.PRNGKey(seed), base, slots,
-                                   sigmas, n, return_solutions, audit)
+    exact = audit == "exact"
+    mean, std, xs, audit_out = run(
+        jax.random.PRNGKey(seed), base, slots, sigmas, n,
+        return_solutions or exact, bool(audit) and not exact,
+    )
     out = {"mean": mean, "std": std}
     if return_solutions:
         out["solutions"] = xs
+    if exact:
+        # Opt-in exact tier (round-2 advisor note): the fused default audit
+        # runs at sweep precision (~1e-6 floor in f32); audit='exact'
+        # recomputes every sample's residual in host f64 via
+        # BatchedSolver.residuals — the pre-round-2 behavior — at the cost
+        # of fetching the whole solution batch off the device.
+        noise = jax.random.normal(jax.random.PRNGKey(seed),
+                                  (n, slots.shape[0]), dtype=base.dtype)
+        values = base[slots] * (1.0 + sigmas * noise)
+        batch = np.tile(np.asarray(base, np.float64), (n, 1))
+        batch[:, np.asarray(slots)] = np.asarray(values, np.float64)
+        res = np.asarray(solver.residuals(batch, np.asarray(xs)))
+        audit_out = (res.max(), int(np.sum(res > _AUDIT_WARN_TOL)))
     if audit:
         max_residual = float(audit_out[0])
         out["max_residual"] = max_residual

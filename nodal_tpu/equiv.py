@@ -118,6 +118,9 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
             # residual gate (no-pivot solve of a singular system returns
             # garbage, not an exception)
             resid = band_matvec(W, Xp.T).T - jnp.asarray(R, dtype)
+            scale = jnp.maximum(
+                1.0, jnp.max(jnp.abs(W)) * jnp.max(jnp.abs(Xp))
+            )
             X = plan.unpermute(Xp, rows_axis=-2)
         else:
             from nodal_tpu.ops.assemble import assemble_dense
@@ -132,8 +135,15 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
                                   dtype=jnp.dtype(dtype))
             X = jnp.linalg.solve(G, jnp.asarray(R, dtype))
             resid = G @ X - jnp.asarray(R, dtype)
+            scale = jnp.maximum(
+                1.0, jnp.max(jnp.abs(G)) * jnp.max(jnp.abs(X))
+            )
         Xn = np.asarray(X, dtype=np.float64)
-        rmax = float(jnp.max(jnp.abs(resid)))
+        # Scale-relative gate (round-2 advisor finding): a raw absolute
+        # residual misfires on badly scaled netlists — huge resistances
+        # inflate ||X|| and trip the tol spuriously, tiny ones could let a
+        # bad solve pass.  Normalize by max(1, ||W||_max * ||X||_max).
+        rmax = float(jnp.max(jnp.abs(resid)) / scale)
     tol = 1e-6 if jnp.dtype(dtype) == jnp.float64 else 3e-2
     if not np.isfinite(rmax) or rmax > tol or not np.isfinite(Xn).all():
         from numpy.linalg import LinAlgError

@@ -54,13 +54,29 @@ _KB_CHOICES = (128, 256, 384)
 def rcm_order(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     """Reverse Cuthill-McKee ordering of the symmetrized sparsity graph.
 
-    Pure numpy (no scipy dependency in the compute path).  Returns
-    ``order`` with ``order[new] = old``; disconnected components are
-    traversed in min-degree order.  O(nnz log nnz) host work, done once
-    per topology and cached on the stamps.
+    Returns ``order`` with ``order[new] = old``; disconnected components
+    are traversed in min-degree order.  Host work, done once per topology
+    and cached on the stamps.  Uses scipy.sparse.csgraph's C implementation
+    when available — the pure-numpy BFS below walks edges in interpreter
+    time (~seconds per 1M edges, round-2 advisor finding) and is kept only
+    as a fallback.
     """
     if n == 0:
         return np.zeros(0, dtype=np.int64)
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        off = rows != cols
+        adj = sp.csr_matrix(
+            (np.ones(int(off.sum()), dtype=np.float32),
+             (rows[off], cols[off])),
+            shape=(n, n),
+        )
+        perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
+        return np.asarray(perm, dtype=np.int64)
+    except ImportError:  # pragma: no cover - scipy is a baked-in dep
+        pass
     # Symmetrize + dedup; drop the diagonal.
     r = np.concatenate([rows, cols]).astype(np.int64)
     c = np.concatenate([cols, rows]).astype(np.int64)
@@ -157,6 +173,14 @@ class BandPlan:
         return jnp.take(x, jnp.asarray(self.rank), axis=rows_axis)
 
 
+#: Plan nothing above this many unknowns: the Pallas band tiers cap at
+#: n·kb ≤ 4.2M (n ≤ 32768 at kb=128) and past ~64k the iterative/AMG
+#: paths beat an XLA-scan band solve outright, so running RCM + bandwidth
+#: analysis there is pure interpreter waste (round-2 advisor finding —
+#: auto-selection must stay cheap on very large netlists).
+_BAND_PLAN_MAX_N = 65536
+
+
 def make_band_plan(
     stamps: StampTensors, n_limit: int | None = None,
     max_kb: int = _KB_CHOICES[-1],
@@ -169,7 +193,7 @@ def make_band_plan(
     exceeds ``max_kb`` (the block-tridiagonal layout can't represent it).
     """
     n = stamps.n if n_limit is None else n_limit
-    if n == 0:
+    if n == 0 or n > _BAND_PLAN_MAX_N:
         return None
     if n_limit is None:
         sel = np.arange(len(stamps.g_rows), dtype=np.int64)

@@ -32,6 +32,33 @@ _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "nodal_tpu", "xla"
 )
 
+
+def _host_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature set.
+
+    XLA:CPU persists AOT-compiled executables whose machine features are
+    baked in at compile time; replaying them on a CPU with a different
+    feature set logs "could lead to execution errors such as SIGILL" per
+    load (round-2 review "What's weak" #3 — the driver bench tail was full
+    of them).  Salting the cache directory per host feature-set keeps each
+    machine's cache self-consistent while still sharing TPU executables
+    across runs on the same host.
+    """
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux hosts
+        pass
+    raw = f"{platform.machine()}|{feats}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
 #: Programs cheaper than this to compile are not persisted (litter control).
 _MIN_COMPILE_SECS = 0.2
 
@@ -49,6 +76,10 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         return None
     if path is None:
         path = os.environ.get("NODAL_TPU_CACHE_DIR", _DEFAULT_DIR)
+        # Host-feature salt (explicit paths are taken verbatim): stale
+        # same-path caches from differently-featured CPUs would otherwise
+        # replay mismatched AOT executables with SIGILL warnings.
+        path = os.path.join(path, _host_fingerprint())
     if _enabled_dir == path:
         return path
 
@@ -62,6 +93,17 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         )
         # Persist small-but-slow programs too (default gates on entry size).
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        try:
+            # Keep the jax-level program cache but drop XLA's own AOT
+            # sub-caches: XLA:CPU AOT results persist compile-machine
+            # feature flags (incl. remote-compile-service pseudo-features
+            # like +prefer-no-scatter) and warn "could lead to ... SIGILL"
+            # on every load from a differently-featured host (round-2
+            # review "What's weak" #3 — the driver bench tail).
+            jax.config.update("jax_persistent_cache_enable_xla_caches",
+                              "none")
+        except Exception:  # pragma: no cover - option name drifts
+            pass
     except Exception as e:  # pragma: no cover - config drift across versions
         logger.warning("persistent compile cache unavailable: %s", e)
         return None

@@ -75,3 +75,20 @@ def test_enable_is_idempotent(tmp_path, monkeypatch):
     d = str(tmp_path / "cache")
     assert cache_mod.enable_persistent_cache(d) == d
     assert cache_mod.enable_persistent_cache(d) == d
+
+
+def test_cache_dir_salted_with_host_fingerprint(tmp_path, monkeypatch):
+    """The default cache location gains a per-host CPU-feature salt so AOT
+    executables compiled on a differently-featured CPU are never replayed
+    (the 'SIGILL' warning tail in the round-2 bench)."""
+    from nodal_tpu.utils import cache
+
+    fp = cache._host_fingerprint()
+    assert fp and len(fp) == 12
+    assert fp == cache._host_fingerprint()  # stable
+
+    monkeypatch.setenv("NODAL_TPU_CACHE_DIR", str(tmp_path / "c"))
+    monkeypatch.setattr(cache, "_enabled_dir", None)
+    out = cache.enable_persistent_cache()
+    assert out == os.path.join(str(tmp_path / "c"), fp)
+    assert os.path.isdir(out)
