@@ -131,9 +131,17 @@ class Circuit:
                 # sparse path runs entirely host-side, and pre-placing an
                 # f64 array on a remote accelerator forces a pathological
                 # fetch-back (see ops/sparse.py).
-                x, info = solve_sparse_system(
-                    self.stamps, self.stamps.params, dtype=self.dtype
-                )
+                try:
+                    x, info = solve_sparse_system(
+                        self.stamps, self.stamps.params, dtype=self.dtype
+                    )
+                except LinAlgError:
+                    # Structural singularity detected inside the bordered
+                    # elimination — run the same connectivity diagnosis the
+                    # reference applies to its dense LinAlgError
+                    # (nodal.py:328-335): floating subcircuit vs genuinely
+                    # singular.
+                    self._raise_singular()
                 residual = info.residual
                 stats["method"] = getattr(info, "method", "") or "krylov"
                 stats["iterations"] = int(info.iterations)

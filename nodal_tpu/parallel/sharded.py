@@ -24,21 +24,32 @@ from nodal_tpu.ops.grid import grid_solve
 
 
 def make_sharded_batch_solver(
-    stamps: StampTensors, mesh: Mesh, *, dtype=jnp.float32, refine: bool = False
+    stamps: StampTensors, mesh: Mesh, *, dtype=jnp.float32,
+    refine: bool = False, pallas: str = "auto",
 ):
     """Compile a batch solver whose batch axis is sharded over every mesh
     axis (dp × sp treated as one data-parallel pool).
 
-    Structure-aware like :class:`nodal_tpu.batch.BatchedSolver`, but
-    restricted to the XLA-level solver implementations (PCR tridiagonal,
-    scan block-Thomas, blocked LU) — those are plain XLA ops whose batch
-    dimension GSPMD partitions with zero communication, whereas the Pallas
-    mega-kernels are opaque custom calls the partitioner cannot split.
-    ``refine=True`` keeps the dense f64-refined path.
+    Structure-aware like :class:`nodal_tpu.batch.BatchedSolver`.  The
+    Pallas mega-kernels (PCR tridiagonal, VMEM/streaming block-Thomas,
+    VMEM blocked LU) are opaque custom calls GSPMD cannot partition, so
+    they are wrapped per-device with ``shard_map`` over the batch axis —
+    each chip runs the single-chip kernel on its local shard, with zero
+    communication (round-2 review item #4: multi-chip batch previously
+    forfeited the fast kernels and fell back to XLA-level solvers).
+
+    ``pallas``: ``"auto"`` uses the kernels when the structure supports
+    them and the backend is TPU (elsewhere they run in interpret mode —
+    correct but slow, so auto avoids them); ``"on"`` forces the shard_map
+    +kernel path (tests/dryruns on the virtual CPU mesh); ``"off"``
+    restores the XLA-level solvers.  ``refine=True`` keeps the dense
+    f64-refined path (XLA-level).
 
     Returns a function ``params_batch [B, n_components] -> solutions [B, n]``
     with B divisible by the mesh size.
     """
+    from jax import shard_map
+
     in_sharding = NamedSharding(mesh, P(("dp", "sp"), None))
     out_sharding = NamedSharding(mesh, P(("dp", "sp"), None))
 
@@ -48,8 +59,27 @@ def make_sharded_batch_solver(
 
     resistive = stamps.n == stamps.n_kcl
     plan = band_plan(stamps) if (resistive and not refine) else None
+    f32 = jnp.dtype(dtype) == jnp.float32
+    use_pallas = pallas == "on" or (
+        pallas == "auto" and f32 and not refine
+        and jax.default_backend() == "tpu"
+    )
 
-    if resistive and not refine and bandwidth(stamps) <= 1:
+    local_pallas = None
+    if use_pallas and f32 and not refine:
+        local_pallas = _pallas_local_batch_solver(stamps, plan, dtype)
+
+    if local_pallas is not None:
+        # Per-device Pallas kernel over the local batch shard.  shard_map
+        # (not GSPMD) because pallas_call lowers to an opaque custom call
+        # the SPMD partitioner cannot split; the batch axis is embarrassingly
+        # parallel so the wrapper introduces no collectives at all.
+        spec = P(("dp", "sp"), None)
+        solve_batch = shard_map(
+            local_pallas, mesh=mesh, in_specs=spec, out_specs=spec,
+            check_vma=False,
+        )
+    elif resistive and not refine and bandwidth(stamps) <= 1:
 
         def solve_batch(pb):
             dl, d, du, b = jax.vmap(
@@ -86,6 +116,65 @@ def make_sharded_batch_solver(
     return jax.jit(
         solve_batch, in_shardings=in_sharding, out_shardings=out_sharding
     )
+
+
+def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
+    """Per-device (shard-local) batch solve using the single-chip Pallas
+    tiers, mirroring BatchedSolver's structure dispatch.  Returns None when
+    no Pallas tier covers this circuit (caller falls back to XLA-level)."""
+    from nodal_tpu.ops.assemble import assemble_tridiag, bandwidth
+    from nodal_tpu.ops.pallas_band import (band_fits_stream, band_fits_vmem,
+                                           pallas_band_solve,
+                                           pallas_band_solve_stream)
+    from nodal_tpu.ops.pallas_block_lu import (_pad, lu_fits_vmem,
+                                               pallas_lu_solve)
+    from nodal_tpu.ops.pallas_tridiag import pcr_fits_vmem, pcr_solve_padded
+
+    resistive = stamps.n == stamps.n_kcl
+    if not resistive:
+        return None
+
+    if bandwidth(stamps) <= 1 and pcr_fits_vmem(stamps.n):
+
+        def local(pb):
+            dl, d, du, b = jax.vmap(
+                lambda p: assemble_tridiag(stamps, p, dtype=dtype)
+            )(pb)
+            return pcr_solve_padded(dl, d, du, b)
+
+        return local
+
+    if plan is not None and plan.nb >= 2 and (
+        plan.kb == 128 or plan.n > 1024
+    ):
+        if band_fits_vmem(plan.n_pad, plan.kb):
+            core = pallas_band_solve
+        elif band_fits_stream(plan.n_pad, plan.kb):
+            core = pallas_band_solve_stream
+        else:
+            return None
+
+        def local(pb):
+            W, b = jax.vmap(
+                lambda p: plan.assemble(stamps, p, dtype=dtype)
+            )(pb)
+            return plan.unpermute(core(W, b))
+
+        return local
+
+    if lu_fits_vmem(stamps.n):
+        n_pad = _pad(stamps.n)
+
+        def local(pb):
+            G, b = jax.vmap(
+                lambda p: assemble_dense(stamps, p, dtype=dtype,
+                                         pad_to=n_pad)
+            )(pb)
+            return pallas_lu_solve(G, b, n_valid=stamps.n)
+
+        return local
+
+    return None
 
 
 def make_sharded_grid_solver(

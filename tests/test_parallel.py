@@ -226,3 +226,62 @@ def test_halo_matvec_matches_dense():
     got = np.asarray(dist_matvec(x))
     expected = np.asarray(laplacian_matvec(x))
     np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_pallas_band_kernel_matches_single():
+    """Round-2 review item #4: the multi-chip batch path must keep the
+    single-chip Pallas kernels — shard_map wraps them per device (opaque
+    custom calls GSPMD cannot split).  On the virtual CPU mesh the kernels
+    run in interpret mode (pallas='on' forces the path); per-shard outputs
+    must match the single-device kernel bit-for-bit."""
+    from nodal_tpu.utils.gridgen import grid_rows
+    from nodal_tpu.ops.band import band_plan
+    from nodal_tpu.ops.pallas_band import pallas_band_solve
+
+    mesh = make_mesh(8)
+    rows = list(grid_rows(6, 30, (0, 0), (5, 29)))
+    rows.append(["src", "A", "1", "n1_1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    plan = band_plan(circuit.stamps)
+    assert plan is not None and plan.nb >= 2  # precondition: band tier
+
+    solver = make_sharded_batch_solver(
+        circuit.stamps, mesh, dtype=jnp.float32, pallas="on"
+    )
+    rng = np.random.default_rng(7)
+    base = circuit.stamps.params
+    B = 16
+    batch = (base * (1.0 + 0.05 * rng.standard_normal((B, len(base))))
+             ).astype(np.float32)
+    got = np.asarray(solver(batch))
+
+    # Single-device kernel on the full batch (same interpret-mode kernel).
+    W, b = jax.vmap(
+        lambda p: plan.assemble(circuit.stamps, p, dtype=jnp.float32)
+    )(jnp.asarray(batch))
+    expected = np.asarray(plan.unpermute(pallas_band_solve(W, b)))
+    np.testing.assert_allclose(got, expected, rtol=0, atol=0)
+
+
+def test_sharded_pallas_tridiag_kernel_matches_single():
+    """Ladder topology through the shard_map-wrapped PCR kernel."""
+    from nodal_tpu.ops.assemble import assemble_tridiag
+    from nodal_tpu.ops.pallas_tridiag import pcr_solve_padded
+
+    mesh = make_mesh(8)
+    circuit = Circuit(Netlist.from_rows(ladder_rows(64)))
+    solver = make_sharded_batch_solver(
+        circuit.stamps, mesh, dtype=jnp.float32, pallas="on"
+    )
+    rng = np.random.default_rng(11)
+    base = circuit.stamps.params
+    B = 8
+    batch = (base * (1.0 + 0.03 * rng.standard_normal((B, len(base))))
+             ).astype(np.float32)
+    got = np.asarray(solver(batch))
+
+    dl, d, du, b = jax.vmap(
+        lambda p: assemble_tridiag(circuit.stamps, p, dtype=jnp.float32)
+    )(jnp.asarray(batch))
+    expected = np.asarray(pcr_solve_padded(dl, d, du, b))
+    np.testing.assert_allclose(got, expected, rtol=0, atol=0)

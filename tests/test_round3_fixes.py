@@ -96,3 +96,23 @@ def test_band_plan_size_short_circuit():
         params=np.ones(1),
     )
     assert make_band_plan(stamps) is None
+
+
+def test_failure_surface_at_scale_real_circuit():
+    """Round-2 review item #7: a REAL (no monkeypatching) singular general
+    circuit beyond the old 16,384-unknown dense-rescue cap must raise the
+    typed error cleanly — previously that size returned NaN + logged error
+    only via a monkeypatched unit test."""
+    from numpy.linalg import LinAlgError
+
+    rows = list(grid_rows(25, 800, (0, 0), (24, 799)))  # 20k nodes
+    rows.append(["e1", "E", "2", "1", "g"])
+    # Island tied in only through a VCCS output: connected graph, singular
+    # G (island potential free up to a constant).
+    rows.append(["ri", "R", "1", "x1", "x2"])
+    rows.append(["dv", "VCCS", "0.5", "x1", "g", "1", "g"])
+    nl = Netlist.from_rows(rows)
+    c = Circuit(nl, sparse=True)
+    assert c.stamps.n > 16384
+    with pytest.raises(LinAlgError):
+        c.solve()
