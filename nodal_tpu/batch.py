@@ -343,7 +343,11 @@ class BatchedSolver:
         self.method = method
 
         if method == "tridiag":
-            if refine:
+            # f64 on TPU: no native f64 — route onto the refined tier
+            # (f32 PCR solves + f64 band residuals) like the band path,
+            # instead of a crawling emulated-f64 scan.
+            if refine or (jax.default_backend() == "tpu"
+                          and jnp.dtype(dtype) == jnp.float64):
                 solve_batch = _refined_tridiag_solver(self.stamps, dtype)
             else:
 
