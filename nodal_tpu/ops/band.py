@@ -150,15 +150,96 @@ class BandPlan:
     def assemble_from_values(self, g_vals, rhs_vals):
         """Like :meth:`assemble`, from already-evaluated stamp values —
         for callers that also scatter the same values elsewhere (the Schur
-        band assembler) and must not trace the evaluation twice."""
-        flat = jnp.zeros(self.n_pad * 3 * self.kb, dtype=g_vals.dtype)
-        flat = flat.at[self.g_flat].add(g_vals[self.sel])
-        if len(self.unit_flat):
-            flat = flat.at[self.unit_flat].add(1.0)
-        W = flat.reshape(self.nb, self.kb, 3 * self.kb)
+        band assembler) and must not trace the evaluation twice.
+
+        Uses the gather-fold construction when the per-row entry count is
+        small (the common case — local circuits have a handful of stamps
+        per matrix row): W is produced by ONE fused output pass comparing
+        each row's few band-column targets against an iota, instead of a
+        scatter-add into a zero-initialized [n_pad·3kb] buffer.  XLA's TPU
+        scatter measured ~4x off stream bandwidth here (14 ms of the 57 ms
+        batched mesh solve at B=1024); the same rewrite removed the 13 ms
+        tridiagonal-assembly scatter in round 2.  Falls back to the
+        scatter for dense rows.
+        """
+        gf = self._gather_fold()
+        if gf is not None:
+            entry_ids, cols, valid, fill = gf
+            # Masked gather: real slots read their stamp value, padding
+            # slots contribute 0, pad-row unit diagonals contribute 1 —
+            # no assumption about len(g_vals) (self.sel indexes the FULL
+            # raw stamp vector, whose length the plan doesn't know).
+            rowvals = (g_vals[entry_ids] * valid.astype(g_vals.dtype)
+                       + fill.astype(g_vals.dtype))     # [n_pad, width]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (self.n_pad, cols.shape[1], 3 * self.kb), 2
+            )
+            # Fused broadcast-compare-reduce: each output element reads the
+            # row's `width` (value, column) pairs — no scatter, one pass.
+            W = jnp.sum(
+                rowvals[:, :, None]
+                * (cols[:, :, None] == iota).astype(g_vals.dtype),
+                axis=1,
+            ).reshape(self.nb, self.kb, 3 * self.kb)
+        else:
+            flat = jnp.zeros(self.n_pad * 3 * self.kb, dtype=g_vals.dtype)
+            flat = flat.at[self.g_flat].add(g_vals[self.sel])
+            if len(self.unit_flat):
+                flat = flat.at[self.unit_flat].add(1.0)
+            W = flat.reshape(self.nb, self.kb, 3 * self.kb)
         b = jnp.zeros(self.n_pad, dtype=rhs_vals.dtype)
         b = b.at[self.rhs_perm_rows].add(rhs_vals[self.rhs_sel])
         return W, b
+
+    #: Rows denser than this fall back to the scatter path (the gather-fold
+    #: pass costs width compares per output element).
+    _GATHER_FOLD_MAX_WIDTH = 16
+
+    def _gather_fold(self):
+        """Lazily-built per-row gather lists: (entry_ids, band_cols, valid,
+        fill), each [n_pad, width], or None when rows are too dense.
+
+        ``entry_ids`` indexes the raw stamp value vector (``self.sel``
+        semantics); ``valid`` is 1.0 on real slots and 0.0 on padding /
+        unit slots (whose gathered value is discarded); ``fill`` carries
+        the constant contribution of non-real slots (1.0 for pad-row unit
+        diagonals, 0.0 otherwise).
+        """
+        cached = self.__dict__.get("_gf_cache", False)
+        if cached is not False:
+            return cached
+        import os
+
+        out = None
+        if os.environ.get("NODAL_TPU_BAND_ASSEMBLY") != "scatter":
+            rows = self.g_flat // (3 * self.kb)
+            cols = self.g_flat % (3 * self.kb)
+            urows = self.unit_flat // (3 * self.kb)
+            ucols = self.unit_flat % (3 * self.kb)
+            all_rows = np.concatenate([rows, urows])
+            counts = np.bincount(all_rows, minlength=self.n_pad)
+            width = int(counts.max()) if len(all_rows) else 1
+            if width <= self._GATHER_FOLD_MAX_WIDTH and len(self.sel):
+                entry_ids = np.zeros((self.n_pad, width), dtype=np.int64)
+                band_cols = np.zeros((self.n_pad, width), dtype=np.int32)
+                valid = np.zeros((self.n_pad, width), dtype=np.float32)
+                fill = np.zeros((self.n_pad, width), dtype=np.float32)
+                slot = np.zeros(self.n_pad, dtype=np.int64)
+                for r, i, cc in zip(rows, self.sel.astype(np.int64),
+                                    cols.astype(np.int32)):
+                    entry_ids[r, slot[r]] = i
+                    band_cols[r, slot[r]] = cc
+                    valid[r, slot[r]] = 1.0
+                    slot[r] += 1
+                for r, cc in zip(urows, ucols.astype(np.int32)):
+                    band_cols[r, slot[r]] = cc
+                    fill[r, slot[r]] = 1.0
+                    slot[r] += 1
+                # numpy, not jnp: the cache outlives any single trace, and
+                # device arrays created inside shard_map are tracers.
+                out = (entry_ids, band_cols, valid, fill)
+        self.__dict__["_gf_cache"] = out
+        return out
 
     def unpermute(self, x, *, rows_axis: int = -1):
         """Map a solution on the reordered unknowns back to natural order.

@@ -38,6 +38,7 @@ from nodal_tpu.ops.pallas_block_lu import (
     _interpret,
     _mm,
     _ns_inverse_many,
+    _ns_inverse_many_adaptive,
     _x32_scope,
 )
 
@@ -73,6 +74,25 @@ def _ns_schedule(nb: int, kb: int) -> tuple[int, int]:
     return it, it
 
 
+#: Extra ceiling the adaptive loop gets over the old fixed schedule: it
+#: stops early on easy blocks, so the ceiling only bounds pathological
+#: samples — and a higher one makes deep chains SAFER than fixed counts.
+_ADAPTIVE_EXTRA = 8
+
+
+def _resolve_ns(nb: int, kb: int, newton_iters, fp32_tail):
+    """Map the public ``newton_iters``/``fp32_tail`` kwargs to
+    (iters, tail, adaptive): None -> convergence-checked adaptive NS with
+    ceiling schedule+_ADAPTIVE_EXTRA; an explicit count keeps the fixed
+    all-fp32 behavior exactly (tests / callers that pinned a budget)."""
+    if newton_iters is None:
+        it, _ = _ns_schedule(nb, kb)
+        it += _ADAPTIVE_EXTRA
+        return it, it, True
+    tail = newton_iters if fp32_tail is None else fp32_tail
+    return newton_iters, tail, False
+
+
 def _pick_T(nb: int, multi: bool) -> int:
     """Systems interleaved per kernel instance.
 
@@ -105,12 +125,14 @@ def _unit_band(nb: int, kb: int = _K) -> jnp.ndarray:
 
 
 def _thomas_many(Ws, rhs_of, nb: int, iters: int, fp32_tail: int,
-                 kb: int = _K):
+                 kb: int = _K, adaptive: bool = False):
     """Interleaved block-Thomas over T band refs.
 
     ``Ws[j]`` is a [n, 3kb] VMEM ref (rows of system j's band);
     ``rhs_of(j, t)`` yields block t's [kb, R] RHS mat.  Returns per-system
-    lists of x blocks ([kb, R]), natural block order.
+    lists of x blocks ([kb, R]), natural block order.  ``adaptive=True``
+    runs the convergence-checked Newton-Schulz (``iters`` is then the
+    ceiling, not the budget — see _ns_inverse_many_adaptive).
     """
     T = len(Ws)
     C_hist = [[None] * nb for _ in range(T)]
@@ -129,7 +151,8 @@ def _thomas_many(Ws, rhs_of, nb: int, iters: int, fp32_tail: int,
                 bm = bm - _mm(L, yp[j])
             Ds.append(D)
             bs.append(bm)
-        Xs = _ns_inverse_many(Ds, iters, fp32_tail, k=kb)
+        Xs = (_ns_inverse_many_adaptive(Ds, iters, k=kb) if adaptive
+              else _ns_inverse_many(Ds, iters, fp32_tail, k=kb))
         for j in range(T):
             y = _mm(Xs[j], bs[j])
             y_hist[j][t] = y
@@ -147,7 +170,8 @@ def _thomas_many(Ws, rhs_of, nb: int, iters: int, fp32_tail: int,
     return xs
 
 
-def _make_kernel(nb: int, iters: int, tail: int, T: int):
+def _make_kernel(nb: int, iters: int, tail: int, T: int,
+                 adaptive: bool = False):
     n = nb * _K
 
     def kernel(w_hbm, b_ref, out_ref, W, sem):
@@ -171,7 +195,7 @@ def _make_kernel(nb: int, iters: int, tail: int, T: int):
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        xs = _thomas_many(Ws, rhs_of, nb, iters, tail)
+        xs = _thomas_many(Ws, rhs_of, nb, iters, tail, adaptive=adaptive)
         for j in range(T):
             xfull = jnp.concatenate(xs[j], axis=0)  # [n, 128]
             out_ref[0, j] = jax.lax.dot_general(
@@ -183,7 +207,8 @@ def _make_kernel(nb: int, iters: int, tail: int, T: int):
     return kernel, n
 
 
-def _make_multi_kernel(nb: int, iters: int, tail: int, T: int):
+def _make_multi_kernel(nb: int, iters: int, tail: int, T: int,
+                       adaptive: bool = False):
     n = nb * _K
 
     def kernel(w_hbm, r_ref, out_ref, W, sem):
@@ -197,7 +222,7 @@ def _make_multi_kernel(nb: int, iters: int, tail: int, T: int):
         def rhs_of(j, t):
             return r_ref[j, t * _K:(t + 1) * _K, :]
 
-        xs = _thomas_many(Ws, rhs_of, nb, iters, tail)
+        xs = _thomas_many(Ws, rhs_of, nb, iters, tail, adaptive=adaptive)
         for j in range(T):
             out_ref[j] = jnp.concatenate(xs[j], axis=0)
 
@@ -235,12 +260,8 @@ def pallas_band_solve(W, b, *, newton_iters: int | None = None,
             f"pallas_band_solve supports n <= {_MAX_N} (VMEM budget); got "
             f"{n} — use pallas_band_solve_stream"
         )
-    if newton_iters is None:
-        newton_iters, default_tail = _ns_schedule(nb, kb)
-    else:
-        default_tail = newton_iters  # caller-raised counts stay all-fp32
-    if fp32_tail is None:
-        fp32_tail = default_tail
+    newton_iters, fp32_tail, adaptive = _resolve_ns(
+        nb, kb, newton_iters, fp32_tail)
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
     T = _pick_T(nb, multi=False)
@@ -248,7 +269,8 @@ def pallas_band_solve(W, b, *, newton_iters: int | None = None,
     if B != B_in:
         W, b = _pad_batch(W, b, B - B_in)
 
-    kernel, _ = _make_kernel(nb, newton_iters, fp32_tail, T)
+    kernel, _ = _make_kernel(nb, newton_iters, fp32_tail, T,
+                             adaptive=adaptive)
     with _x32_scope():
         x = pl.pallas_call(
             kernel,
@@ -295,12 +317,8 @@ def pallas_band_solve_multi(W, R, *, newton_iters: int | None = None,
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
-    if newton_iters is None:
-        newton_iters, default_tail = _ns_schedule(nb, kb)
-    else:
-        default_tail = newton_iters  # caller-raised counts stay all-fp32
-    if fp32_tail is None:
-        fp32_tail = default_tail
+    newton_iters, fp32_tail, adaptive = _resolve_ns(
+        nb, kb, newton_iters, fp32_tail)
     W = W.astype(jnp.float32)
     R = R.astype(jnp.float32)
     if r_in != _K:
@@ -310,7 +328,8 @@ def pallas_band_solve_multi(W, R, *, newton_iters: int | None = None,
     if B != B_in:
         W, R = _pad_batch(W, R, B - B_in)
 
-    kernel, _ = _make_multi_kernel(nb, newton_iters, fp32_tail, T)
+    kernel, _ = _make_multi_kernel(nb, newton_iters, fp32_tail, T,
+                                   adaptive=adaptive)
     with _x32_scope():
         x = pl.pallas_call(
             kernel,
@@ -396,7 +415,7 @@ def _extract_row(mat):
 
 
 def _make_fwd_stream_kernel(iters: int, tail: int, T: int, multi: bool,
-                            kb: int):
+                            kb: int, adaptive: bool = False):
     def kernel(w_ref, b_ref, c_ref, y_ref, Cp, Yp):
         t = pl.program_id(1)
 
@@ -416,7 +435,8 @@ def _make_fwd_stream_kernel(iters: int, tail: int, T: int, multi: bool,
             bm = bm - _mm(L, Yp[j])
             Ds.append(D)
             bs.append(bm)
-        Xs = _ns_inverse_many(Ds, iters, tail, k=kb)
+        Xs = (_ns_inverse_many_adaptive(Ds, iters, k=kb) if adaptive
+              else _ns_inverse_many(Ds, iters, tail, k=kb))
         for j in range(T):
             y = _mm(Xs[j], bs[j])
             C = _mm(Xs[j], w_ref[j, 0, :, 2 * kb:3 * kb])
@@ -454,7 +474,7 @@ def _make_bwd_stream_kernel(T: int, multi: bool):
 
 
 def _band_solve_stream(W, R_or_b, *, newton_iters: int, fp32_tail: int,
-                       multi: bool):
+                       multi: bool, adaptive: bool = False):
     """Shared driver for the streaming tiers (R_or_b already padded/f32)."""
     B, nb, kb, _ = W.shape
     n = nb * kb
@@ -474,7 +494,8 @@ def _band_solve_stream(W, R_or_b, *, newton_iters: int, fp32_tail: int,
 
     with _x32_scope():
         C, Y = pl.pallas_call(
-            _make_fwd_stream_kernel(newton_iters, fp32_tail, T, multi, kb),
+            _make_fwd_stream_kernel(newton_iters, fp32_tail, T, multi, kb,
+                                    adaptive=adaptive),
             grid=(B // T, nb),
             out_shape=(
                 jax.ShapeDtypeStruct((B, nb, kb, kb), jnp.float32),
@@ -540,12 +561,8 @@ def pallas_band_solve_stream(W, b, *, newton_iters: int | None = None,
             f"pallas_band_solve_stream supports n*kb <= {_MAX_NKB_STREAM}; "
             f"got {n}*{kb} — use ops.band.band_thomas_solve"
         )
-    if newton_iters is None:
-        newton_iters, default_tail = _ns_schedule(nb, kb)
-    else:
-        default_tail = newton_iters  # caller-raised counts stay all-fp32
-    if fp32_tail is None:
-        fp32_tail = default_tail
+    newton_iters, fp32_tail, adaptive = _resolve_ns(
+        nb, kb, newton_iters, fp32_tail)
     W = W.astype(jnp.float32)
     b = b.astype(jnp.float32)
     T = _STREAM_T
@@ -553,7 +570,8 @@ def pallas_band_solve_stream(W, b, *, newton_iters: int | None = None,
     if B != B_in:
         W, b = _pad_batch(W, b, B - B_in)
     X = _band_solve_stream(W, b, newton_iters=newton_iters,
-                           fp32_tail=fp32_tail, multi=False)
+                           fp32_tail=fp32_tail, multi=False,
+                           adaptive=adaptive)
     out_n = n_valid if n_valid is not None else n
     return X.reshape(B, n)[:B_in, :out_n]
 
@@ -578,12 +596,8 @@ def pallas_band_solve_multi_stream(W, R, *, newton_iters: int | None = None,
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
-    if newton_iters is None:
-        newton_iters, default_tail = _ns_schedule(nb, kb)
-    else:
-        default_tail = newton_iters  # caller-raised counts stay all-fp32
-    if fp32_tail is None:
-        fp32_tail = default_tail
+    newton_iters, fp32_tail, adaptive = _resolve_ns(
+        nb, kb, newton_iters, fp32_tail)
     W = W.astype(jnp.float32)
     R = R.astype(jnp.float32)
     if r_in != _K:
@@ -593,5 +607,6 @@ def pallas_band_solve_multi_stream(W, R, *, newton_iters: int | None = None,
     if B != B_in:
         W, R = _pad_batch(W, R, B - B_in)
     X = _band_solve_stream(W, R, newton_iters=newton_iters,
-                           fp32_tail=fp32_tail, multi=True)
+                           fp32_tail=fp32_tail, multi=True,
+                           adaptive=adaptive)
     return X.reshape(B, n, _K)[:B_in, :, :r_in]

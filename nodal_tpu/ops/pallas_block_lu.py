@@ -116,6 +116,72 @@ def _ns_inverse_many(Ds, iters: int, fp32_tail: int | None = None,
     return Xs
 
 
+#: Adaptive-NS stopping threshold on max|I - D·X| *before* an update; the
+#: closing update squares it (quadratic convergence), so stopping here
+#: lands the final inverse at the fp32 noise floor.  1e-5 rather than 1e-3:
+#: block-inverse error compounds through the Schur recursion with the
+#: chain's conditioning (measured: 1e-3 stopping left 0.38 end-to-end
+#: error on the 3-D-lattice wide-band test; 1e-5 costs ~1 extra iteration
+#: per block and restores fixed-count quality).
+_NS_ADAPTIVE_TOL = 1e-5
+
+
+def _ns_inverse_many_adaptive(Ds, max_iters: int, k: int = _K,
+                              tol: float = _NS_ADAPTIVE_TOL):
+    """All-fp32 Newton-Schulz with an in-kernel convergence check.
+
+    Fixed-count NS (``_ns_inverse_many``) must budget for the WORST block
+    of the worst sample (16-22 iterations, the 14/(1−ρ) bound), but most
+    blocks of most samples converge far earlier — NS is ~70% of the band
+    kernel's matmuls (round-2 review item #3).  The residual
+    ``max|I − D·X|`` falls out of the iteration's own first matmul
+    (T = D·X), so checking costs one VPU reduction; the tile of T systems
+    stops as soon as every member is below ``tol``.  The loop also runs
+    LONGER than the old fixed counts when a hard sample needs it
+    (``max_iters`` is the new ceiling, not the budget), which tightens the
+    deep-chain safety story rather than trading it away.
+
+    Batched [T, k, k] dot_generals replace the unrolled per-system
+    round-robin: the T chains stay independent inside one op, so the MXU
+    pipeline interleaving is preserved by the batch dimension itself.
+    """
+    D = jnp.stack(Ds)  # [T, k, k]
+    I = _eye(k, D.dtype)
+    d = jnp.sum(D * I, axis=2, keepdims=True)  # [T, k, 1] diagonals
+    X0 = I * (1.0 / d)
+
+    def bmm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def cond(carry):
+        _, _, r_old, it = carry
+        return jnp.logical_and(it < max_iters, r_old > tol)
+
+    def body(carry):
+        X, r_new, _, it = carry
+        T = bmm(D, X)
+        X = bmm(X, 2.0 * I - T)
+        r = jnp.max(jnp.abs(T - I))
+        return X, r, r_new, it + 1
+
+    # The stop condition lags the residual by one iteration, so the loop
+    # always runs one extra squaring past detection: max|I−DX| is an
+    # elementwise norm, up to k× below the operator norm that governs the
+    # solve error, and the extra quadratic step erases that gap
+    # scale-freely (measured: single-step stopping at 1e-5 left 2.2e-4
+    # end-to-end error on the kb=256 lattice test; lagged stopping matches
+    # the fixed-count kernels).
+    X, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (X0, jnp.float32(jnp.inf), jnp.float32(jnp.inf), jnp.int32(0)),
+    )
+    return [X[j] for j in range(D.shape[0])]
+
+
 def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int | None = None):
     """Right-looking no-pivot blocked LU on T VMEM matrix refs, panel
     steps interleaved across systems.

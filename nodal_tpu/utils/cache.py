@@ -62,6 +62,42 @@ def _host_fingerprint() -> str:
 #: Programs cheaper than this to compile are not persisted (litter control).
 _MIN_COMPILE_SECS = 0.2
 
+
+def _exclude_cpu_backend() -> None:
+    """Skip persistence for CPU-backend programs entirely.
+
+    A serialized XLA:CPU executable IS an AOT result with the compile-time
+    LLVM target features baked in — including tuning pseudo-features
+    (+prefer-no-scatter/+prefer-no-gather) that can never appear in
+    /proc/cpuinfo, so *every* cache load logs two "could lead to execution
+    errors such as SIGILL" errors, even replaying on the very host that
+    compiled it (verified here; dir-salting and
+    jax_persistent_cache_enable_xla_caches=none don't help because the
+    feature record lives in the executable, not a sub-cache).  CPU
+    compiles are sub-second for the programs this framework routes to the
+    host anyway — only the remote-TPU executables (measured 107.8 s cold →
+    3.0 s warm, NOTES.md) are worth persisting.  jax has no per-backend
+    knob, so wrap the one predicate its compiler consults
+    (jax/_src/compiler.py `_get_cache_key` → `is_cache_used(backend)`).
+    """
+    try:
+        from jax._src import compilation_cache as _cc
+
+        orig = _cc.is_cache_used
+        if getattr(orig, "_nodal_tpu_cpu_excluded", False):
+            return
+
+        def is_cache_used(backend):
+            if getattr(backend, "platform", None) == "cpu":
+                return False
+            return orig(backend)
+
+        is_cache_used._nodal_tpu_cpu_excluded = True
+        _cc.is_cache_used = is_cache_used
+    except Exception:  # pragma: no cover - private API drift: keep caching
+        logger.debug("could not exclude cpu backend from persistent cache",
+                     exc_info=True)
+
 _enabled_dir: str | None = None
 
 
@@ -104,6 +140,7 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
                               "none")
         except Exception:  # pragma: no cover - option name drifts
             pass
+        _exclude_cpu_backend()
     except Exception as e:  # pragma: no cover - config drift across versions
         logger.warning("persistent compile cache unavailable: %s", e)
         return None

@@ -24,17 +24,22 @@ for name in ("jax._src.compilation_cache", "jax._src.compiler"):
     logging.getLogger(name).setLevel(logging.DEBUG)
 import jax
 jax.config.update("jax_platforms", "cpu")  # sitecustomize may pin a TPU
+if "--include-cpu" in sys.argv:
+    # Cross-process cache-hit machinery test: tests run CPU-only, so undo
+    # the production default that skips persistence on the CPU backend.
+    from nodal_tpu.utils import cache as _cache
+    _cache._exclude_cpu_backend = lambda: None
 from nodal_tpu import solver_cli
 solver_cli.main(["--stats", "--native", "off", sys.argv[1]])
 """
 
 
-def _run(netlist_path, cache_dir):
+def _run(netlist_path, cache_dir, *extra):
     env = dict(os.environ)
     env["NODAL_TPU_CACHE_DIR"] = cache_dir
     env.pop("NODAL_TPU_NO_CACHE", None)
     proc = subprocess.run(
-        [sys.executable, "-c", _RUNNER, netlist_path],
+        [sys.executable, "-c", _RUNNER, netlist_path, *extra],
         capture_output=True, text=True, cwd=_REPO, env=env, timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -48,15 +53,33 @@ def test_second_process_hits_persistent_cache(tmp_path):
     netlist.write_text(grid_csv(40, 40, (0, 0), (39, 39)))
     cache_dir = str(tmp_path / "xla_cache")
 
-    log1 = _run(str(netlist), cache_dir)
-    entries = os.listdir(cache_dir)
-    assert entries, "first run persisted no compiled programs"
+    log1 = _run(str(netlist), cache_dir, "--include-cpu")
     assert "PERSISTENT COMPILATION CACHE MISS" in log1
 
-    log2 = _run(str(netlist), cache_dir)
+    log2 = _run(str(netlist), cache_dir, "--include-cpu")
     assert "Persistent compilation cache hit" in log2
     # The dominant program (the fused assemble+solve) must not recompile.
     assert "PERSISTENT COMPILATION CACHE MISS" not in log2
+
+
+def test_cpu_backend_excluded_by_default(tmp_path):
+    """Serialized XLA:CPU executables are AOT results whose baked-in tuning
+    pseudo-features (+prefer-no-scatter) warn 'could lead to ... SIGILL' on
+    EVERY load — even same-host (round-2 review 'What's weak' #3).  The
+    production default therefore skips persistence for the CPU backend
+    entirely: no cache traffic, no entries, no loader errors."""
+    netlist = tmp_path / "grid.csv"
+    netlist.write_text(grid_csv(40, 40, (0, 0), (39, 39)))
+    cache_dir = str(tmp_path / "xla_cache")
+
+    log1 = _run(str(netlist), cache_dir)
+    assert "PERSISTENT COMPILATION CACHE MISS" not in log1
+    log2 = _run(str(netlist), cache_dir)
+    assert "Persistent compilation cache hit" not in log2
+    assert "cpu_aot_loader" not in log2 and "SIGILL" not in log2
+    # Only the (empty) salted directory itself may exist.
+    for root, _dirs, files in os.walk(cache_dir):
+        assert not files, f"unexpected cache entries: {files}"
 
 
 def test_cache_disabled_by_env(tmp_path, monkeypatch):

@@ -228,12 +228,15 @@ def test_halo_matvec_matches_dense():
     np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
 
 
-def test_sharded_pallas_band_kernel_matches_single():
+def test_sharded_pallas_band_kernel_matches_single(monkeypatch):
     """Round-2 review item #4: the multi-chip batch path must keep the
     single-chip Pallas kernels — shard_map wraps them per device (opaque
     custom calls GSPMD cannot split).  On the virtual CPU mesh the kernels
-    run in interpret mode (pallas='on' forces the path); per-shard outputs
-    must match the single-device kernel bit-for-bit."""
+    run in interpret mode (pallas='on' forces the path).  With the default
+    adaptive Newton-Schulz, the tile-level convergence stop depends on
+    which samples share a tile, so sharding (different tile composition)
+    may differ from single-device at the f32 noise floor — assert a tight
+    tolerance there, and bit-exactness with a pinned iteration count."""
     from nodal_tpu.utils.gridgen import grid_rows
     from nodal_tpu.ops.band import band_plan
     from nodal_tpu.ops.pallas_band import pallas_band_solve
@@ -260,7 +263,25 @@ def test_sharded_pallas_band_kernel_matches_single():
         lambda p: plan.assemble(circuit.stamps, p, dtype=jnp.float32)
     )(jnp.asarray(batch))
     expected = np.asarray(plan.unpermute(pallas_band_solve(W, b)))
-    np.testing.assert_allclose(got, expected, rtol=0, atol=0)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+    # With Newton-Schulz pinned to a fixed count the kernel is sample-wise
+    # deterministic regardless of tile composition: bit-exact per shard.
+    from nodal_tpu.ops import pallas_band
+
+    monkeypatch.setattr(pallas_band, "_resolve_ns",
+                        lambda nb, kb, ni, ft: (16, 16, False))
+    # The adaptive run above cached jitted traces under the (None, None)
+    # static key (both the direct kernel and the one inlined inside the
+    # sharded solver's jit); without clearing, those executables replay the
+    # adaptive path and ignore the monkeypatch.
+    jax.clear_caches()
+    solver_fixed = make_sharded_batch_solver(
+        circuit.stamps, mesh, dtype=jnp.float32, pallas="on"
+    )
+    got_fixed = np.asarray(solver_fixed(batch))
+    expected_fixed = np.asarray(plan.unpermute(pallas_band_solve(W, b)))
+    np.testing.assert_allclose(got_fixed, expected_fixed, rtol=0, atol=0)
 
 
 def test_sharded_pallas_tridiag_kernel_matches_single():
