@@ -111,6 +111,26 @@ def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto",
     dt = (time.perf_counter() - t0) / reps
     solves_per_sec = batch / dt
 
+    # Sustained (RTT-amortized) throughput: k batch solves chained in ONE
+    # program — per-link perturbed params so XLA cannot CSE-collapse them —
+    # with a single scalar fetch.  The per-call number above pays one
+    # ~25 ms host->device tunnel round trip per rep, an artifact of the
+    # remote-TPU session, not of the kernel (a directly-attached host
+    # would see the sustained figure).
+    k = 4
+
+    @jax.jit
+    def run_k(p):
+        total = jnp.float32(0.0)
+        for i in range(k):
+            total = total + jnp.sum(solver._solve(p * (1.0 + 1e-4 * (i + 1))))
+        return total
+
+    float(run_k(mega))
+    t0 = time.perf_counter()
+    float(run_k(mega))
+    sustained = batch * k / (time.perf_counter() - t0)
+
     # Accuracy spot check: f64 reference solve of the same perturbed sample,
     # assembled on the host CPU backend (native f64; no emulated-f64 TPU
     # compile).
@@ -128,7 +148,7 @@ def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto",
     # sample-0 error checks alone once hid a 40%-of-samples divergence of
     # the deep-chain bf16 Newton-Schulz schedule.
     audit = float(jnp.max(solver.residuals(np.asarray(mega), np.asarray(out))))
-    return solves_per_sec, dt, err, audit, solver.method
+    return solves_per_sec, dt, err, audit, solver.method, sustained
 
 
 def bench_general_sparse(n_nodes: int):
@@ -252,9 +272,14 @@ def main(argv=None):
     parser.add_argument("--grid", type=int, default=1024)
     parser.add_argument("--grid-tol", type=float, default=1e-6)
     parser.add_argument("--skip-grid", action="store_true")
-    parser.add_argument("--midsize-nodes", type=int, default=5000,
-                        help="streaming-band-tier metric (0 disables): a "
-                        "25-row mesh past the VMEM-resident kernel's limit")
+    parser.add_argument("--midsize-nodes", type=lambda s: [
+                            int(v) for v in s.split(",")
+                            if v.strip() and int(v)
+                        ],
+                        default=[5000, 10000],
+                        help="streaming-band-tier metric sizes, comma-"
+                        "separated ('' or 0 disables): 25-row meshes past "
+                        "the VMEM-resident kernel's limit")
     parser.add_argument("--midsize-batch", type=int, default=256)
     parser.add_argument("--sparse-nodes", type=int, default=100_000,
                         help="node count for the general-sparse (`-s` "
@@ -275,7 +300,8 @@ def main(argv=None):
 
     backend = jax.default_backend()
 
-    solves_per_sec, dt, err, audit, method = bench_batched_solves(
+    (solves_per_sec, dt, err, audit, method,
+     sustained) = bench_batched_solves(
         _ladder_circuit(args.nodes), args.batch, args.reps, args.method
     )
     extra = {
@@ -285,13 +311,16 @@ def main(argv=None):
         "batched_wall_s": round(dt, 4),
         "batched_rel_err_vs_f64": err,
         "batched_max_residual": audit,
+        "batched_sustained_solves_per_sec": round(sustained, 2),
     }
     if not args.skip_general:
         # General (non-chain) topology: the round-1 review's headline gap.
-        gen_sps, gen_dt, gen_err, gen_audit, gen_method = bench_batched_solves(
+        (gen_sps, gen_dt, gen_err, gen_audit, gen_method,
+         gen_sust) = bench_batched_solves(
             _mesh_circuit(args.nodes), args.general_batch, args.reps
         )
-        br_sps, br_dt, br_err, br_audit, br_method = bench_batched_solves(
+        (br_sps, br_dt, br_err, br_audit, br_method,
+         br_sust) = bench_batched_solves(
             _branch_circuit(args.nodes), args.general_batch, args.reps
         )
         extra.update(
@@ -301,40 +330,47 @@ def main(argv=None):
                 "general_batch_size": args.general_batch,
                 "general_rel_err_vs_f64": gen_err,
                 "general_max_residual": gen_audit,
+                "general_sustained_solves_per_sec": round(gen_sust, 2),
                 "general_vs_baseline": round(gen_sps / BASELINE_SOLVES_PER_SEC, 2),
                 "branch_solves_per_sec_1000_nodes": round(br_sps, 2),
                 "branch_method": br_method,
                 "branch_rel_err_vs_f64": br_err,
                 "branch_max_residual": br_audit,
+                "branch_sustained_solves_per_sec": round(br_sust, 2),
                 "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
             }
         )
-    if args.midsize_nodes:
-        # Mid-size tier: past the VMEM-resident band kernel, exercising the
+    for i, mid_nodes in enumerate(args.midsize_nodes):
+        # Mid-size tiers: past the VMEM-resident band kernel, exercising the
         # streaming (grid-pipelined) block-Thomas path — f32 fast tier and
         # the f64-residual-refined tier side by side (round-2 review item
-        # #2: the ≤1e-6 accuracy claim must carry a measured cost).
-        mid_circuit = _mesh_circuit(args.midsize_nodes)
-        mid_sps, mid_dt, mid_err, mid_audit, mid_method = bench_batched_solves(
+        # #2: the ≤1e-6 accuracy claim must carry a measured cost, at both
+        # n=5000 and n=10000).
+        tag = "midsize" if i == 0 else f"midsize_{mid_nodes}"
+        mid_circuit = _mesh_circuit(mid_nodes)
+        (mid_sps, mid_dt, mid_err, mid_audit, mid_method,
+         mid_sust) = bench_batched_solves(
             mid_circuit, args.midsize_batch, 2
         )
         extra.update(
             {
-                "midsize_nodes": args.midsize_nodes,
-                "midsize_solves_per_sec": round(mid_sps, 2),
-                "midsize_method": mid_method,
-                "midsize_rel_err_vs_f64": mid_err,
-                "midsize_max_residual": mid_audit,
+                f"{tag}_nodes": mid_nodes,
+                f"{tag}_solves_per_sec": round(mid_sps, 2),
+                f"{tag}_method": mid_method,
+                f"{tag}_rel_err_vs_f64": mid_err,
+                f"{tag}_max_residual": mid_audit,
+                f"{tag}_sustained_solves_per_sec": round(mid_sust, 2),
             }
         )
-        ref_sps, _, ref_err, ref_audit, _ = bench_batched_solves(
+        ref_sps, _, ref_err, ref_audit, _, ref_sust = bench_batched_solves(
             mid_circuit, args.midsize_batch, 2, refine=True
         )
         extra.update(
             {
-                "midsize_refined_solves_per_sec": round(ref_sps, 2),
-                "midsize_refined_rel_err_vs_f64": ref_err,
-                "midsize_refined_max_residual": ref_audit,
+                f"{tag}_refined_solves_per_sec": round(ref_sps, 2),
+                f"{tag}_refined_rel_err_vs_f64": ref_err,
+                f"{tag}_refined_max_residual": ref_audit,
+                f"{tag}_refined_sustained_solves_per_sec": round(ref_sust, 2),
             }
         )
     if not args.skip_sparse:

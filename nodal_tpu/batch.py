@@ -371,7 +371,7 @@ class BatchedSolver:
                     return tridiag.tridiag_solve(dl, d, du, b)
         elif method == "band":
             plan = band_plan(self.stamps)
-            from nodal_tpu.ops.band import band_matvec, band_thomas_solve
+            from nodal_tpu.ops.band import band_thomas_solve
             from nodal_tpu.ops.pallas_band import (band_fits_stream,
                                                    band_fits_vmem,
                                                    pallas_band_solve,
@@ -396,19 +396,37 @@ class BatchedSolver:
             refined = refine or (on_tpu and jnp.dtype(dtype) == jnp.float64)
 
             if refined:
+                from nodal_tpu.models.stamps import stamp_values
+
+                stamps = self.stamps
+                order = np.asarray(plan.order)
 
                 def solve_batch(params_batch):
-                    # f32 banded solves, f64 band-space residuals — the
-                    # banded analogue of _refined_tridiag_solver.
-                    W64, b64 = jax.vmap(
-                        lambda p: plan.assemble(self.stamps, p,
-                                                dtype=jnp.float64)
+                    # f32 banded solves, f64 COO residuals.  The residual
+                    # comes straight from the stamp entries (O(B·nnz), the
+                    # audit's formulation) rather than a band_matvec on f64
+                    # band storage: materializing W in both f64 and f32
+                    # cost 6 GB HBM at n=5000, B=256 and OOMed the refined
+                    # tier on v5e (24.5G > 15.75G program requirement).
+                    B = params_batch.shape[0]
+                    W, b = jax.vmap(
+                        lambda p: plan.assemble(stamps, p,
+                                                dtype=jnp.float32)
+                    )(params_batch.astype(jnp.float32))
+                    x = band_core(W, b).astype(jnp.float64)  # [B, n_pad]
+                    g_vals, rhs_vals = jax.vmap(
+                        lambda p: stamp_values(stamps, p)
                     )(params_batch.astype(jnp.float64))
-                    f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
-                    x = band_core(f32(W64), f32(b64)).astype(jnp.float64)
+                    b64 = jnp.zeros((B, stamps.n), jnp.float64
+                                    ).at[:, stamps.rhs_rows].add(rhs_vals)
                     for _ in range(2):
-                        r = b64 - band_matvec(W64, x)
-                        dx = band_core(f32(W64), f32(r))
+                        xn = plan.unpermute(x)  # natural order, [B, n]
+                        y = jnp.zeros_like(xn).at[:, stamps.g_rows].add(
+                            g_vals * xn[:, stamps.g_cols])
+                        r = b64 - y
+                        r_band = jnp.zeros((B, plan.n_pad), jnp.float64
+                                           ).at[:, :plan.n].set(r[:, order])
+                        dx = band_core(W, r_band.astype(jnp.float32))
                         x = x + dx.astype(jnp.float64)
                     return plan.unpermute(x)
 

@@ -45,6 +45,11 @@ logger = logging.getLogger(__name__)
 # cond ~1e12 in f64: residual stays ~1e-4 relative at worst).
 _RESIDUAL_TOL = {np.dtype(np.float32): 3e-2, np.dtype(np.float64): 1e-3}
 
+# Two-level gate (round-2 review "What's weak" #2): a solve that clears the
+# failure ceiling but sits above this is returned WITH a logged warning —
+# an f32 answer can be ~1% wrong yet pass the singularity gate silently.
+_RESIDUAL_WARN = 1e-4
+
 # Below this many unknowns a single solve runs on the host CPU backend:
 # accelerator compile latency (seconds on a remote TPU) dwarfs any device
 # win on tiny systems.  Batched sweeps and grid solves target the
@@ -159,6 +164,14 @@ class Circuit:
             ):
                 self._raise_singular()
         stats["residual"] = float(residual)
+        if float(residual) > _RESIDUAL_WARN:
+            logger.warning(
+                "solve residual %.2e exceeds %.0e: the %s answer is "
+                "degraded (ill-conditioned system); re-run with dtype=f64 "
+                "(--dtype f64) for a refined solve",
+                float(residual), _RESIDUAL_WARN, stats["dtype"],
+            )
+            stats["accuracy_warning"] = True
         stats["solve_s"] = time.perf_counter() - t0
         return Solution(x, self.netlist, stats=stats)
 

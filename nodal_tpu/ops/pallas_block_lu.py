@@ -182,7 +182,29 @@ def _ns_inverse_many_adaptive(Ds, max_iters: int, k: int = _K,
     return [X[j] for j in range(D.shape[0])]
 
 
-def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int | None = None):
+#: Fixed Newton-Schulz budget of the no-pivot LU kernel (the 14/(1−ρ)
+#: bound for its diagonally-dominant panel blocks — see _ns_inverse_many).
+_LU_NS_ITERS = 14
+
+#: Adaptive ceiling margin over the fixed budget (mirrors pallas_band's
+#: _ADAPTIVE_EXTRA): the convergence check stops easy blocks early, so the
+#: higher ceiling only bounds pathological samples — strictly safer.
+_LU_ADAPTIVE_EXTRA = 8
+
+
+def _resolve_lu_ns(newton_iters, fp32_tail):
+    """(iters, tail, adaptive) from the public kwargs: None selects the
+    convergence-checked adaptive NS; an explicit count keeps fixed all-fp32
+    behavior exactly (pinned-budget callers / bit-compat tests)."""
+    if newton_iters is None:
+        it = _LU_NS_ITERS + _LU_ADAPTIVE_EXTRA
+        return it, it, True
+    tail = newton_iters if fp32_tail is None else fp32_tail
+    return newton_iters, tail, False
+
+
+def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int | None = None,
+                         adaptive: bool = False):
     """Right-looking no-pivot blocked LU on T VMEM matrix refs, panel
     steps interleaved across systems.
 
@@ -193,8 +215,9 @@ def _factor_inplace_many(As, n: int, iters: int, fp32_tail: int | None = None):
     nb = n // _K
     for t in range(nb):
         lo, hi = t * _K, (t + 1) * _K
-        Xs = _ns_inverse_many([A[lo:hi, lo:hi] for A in As], iters,
-                              fp32_tail)
+        Ds = [A[lo:hi, lo:hi] for A in As]
+        Xs = (_ns_inverse_many_adaptive(Ds, iters) if adaptive
+              else _ns_inverse_many(Ds, iters, fp32_tail))
         for A, X in zip(As, Xs):
             A[lo:hi, lo:hi] = X
         if t < nb - 1:
@@ -231,7 +254,8 @@ def _solve_packed_many(As, rhss, n: int):
     return [jnp.concatenate(x, axis=0) for x in xs]
 
 
-def _make_kernel(n: int, iters: int, fp32_tail: int):
+def _make_kernel(n: int, iters: int, fp32_tail: int,
+                 adaptive: bool = False):
     def kernel(g_hbm, b_ref, out_ref, A, sem):
         i = pl.program_id(0)
         start = pl.multiple_of(i * _T, _T)
@@ -254,7 +278,8 @@ def _make_kernel(n: int, iters: int, fp32_tail: int):
             for j in range(_T)
         ]
 
-        _factor_inplace_many(As, n, iters, fp32_tail)
+        _factor_inplace_many(As, n, iters, fp32_tail,
+                             adaptive=adaptive)
         x_mats = _solve_packed_many(As, b_mats, n)
 
         # Column 0 back to [1, n] rows: contract the lane axis with a
@@ -269,7 +294,8 @@ def _make_kernel(n: int, iters: int, fp32_tail: int):
     return kernel
 
 
-def _make_multi_kernel(n: int, iters: int, fp32_tail: int):
+def _make_multi_kernel(n: int, iters: int, fp32_tail: int,
+                       adaptive: bool = False):
     def kernel(g_hbm, r_ref, out_ref, A, sem):
         i = pl.program_id(0)
         start = pl.multiple_of(i * _T, _T)
@@ -278,7 +304,8 @@ def _make_multi_kernel(n: int, iters: int, fp32_tail: int):
         cp.wait()
         As = [A.at[j] for j in range(_T)]
         rhs_mats = [r_ref[j] for j in range(_T)]
-        _factor_inplace_many(As, n, iters, fp32_tail)
+        _factor_inplace_many(As, n, iters, fp32_tail,
+                             adaptive=adaptive)
         x_mats = _solve_packed_many(As, rhs_mats, n)
         for j in range(_T):
             out_ref[j] = x_mats[j]
@@ -287,7 +314,7 @@ def _make_multi_kernel(n: int, iters: int, fp32_tail: int):
 
 
 @functools.partial(jax.jit, static_argnames=("newton_iters", "fp32_tail"))
-def pallas_lu_solve_multi(G, R, *, newton_iters: int = 14,
+def pallas_lu_solve_multi(G, R, *, newton_iters: int | None = None,
                           fp32_tail: int | None = None):
     """Batched dense no-pivot MULTI-RHS solve: ``G`` [B, n, n],
     ``R`` [B, n, r] with r <= 128 -> X [B, n, r].
@@ -308,6 +335,8 @@ def pallas_lu_solve_multi(G, R, *, newton_iters: int = 14,
         )
     if r_in > _K:
         raise ValueError(f"at most {_K} right-hand sides, got {r_in}")
+    newton_iters, fp32_tail, adaptive = _resolve_lu_ns(
+        newton_iters, fp32_tail)
     G = G.astype(jnp.float32)
     R = R.astype(jnp.float32)
     if r_in != _K:
@@ -323,7 +352,8 @@ def pallas_lu_solve_multi(G, R, *, newton_iters: int = 14,
 
     with _x32_scope():
         x = pl.pallas_call(
-            _make_multi_kernel(n, newton_iters, fp32_tail),
+            _make_multi_kernel(n, newton_iters, fp32_tail,
+                               adaptive=adaptive),
             grid=(B // _T,),
             out_shape=jax.ShapeDtypeStruct((B, n, _K), jnp.float32),
             in_specs=[
@@ -347,7 +377,7 @@ def pallas_lu_solve_multi(G, R, *, newton_iters: int = 14,
 
 @functools.partial(jax.jit,
                    static_argnames=("newton_iters", "fp32_tail", "n_valid"))
-def pallas_lu_solve(G, b, *, newton_iters: int = 14,
+def pallas_lu_solve(G, b, *, newton_iters: int | None = None,
                     fp32_tail: int | None = None,
                     n_valid: int | None = None):
     """Batched dense no-pivot solve, ``_T`` VMEM-resident systems per
@@ -370,6 +400,8 @@ def pallas_lu_solve(G, b, *, newton_iters: int = 14,
             f"pallas_lu_solve supports n <= {_MAX_N} (VMEM budget); "
             f"got {n_in} — use ops.block_lu.blocked_solve"
         )
+    newton_iters, fp32_tail, adaptive = _resolve_lu_ns(
+        newton_iters, fp32_tail)
     G = G.astype(jnp.float32)
     b = b.astype(jnp.float32)
     if n != n_in:
@@ -390,7 +422,8 @@ def pallas_lu_solve(G, b, *, newton_iters: int = 14,
         # two dims equal the array's own trailing dims (full-dimension
         # blocks are exempt from Mosaic's (8, 128) divisibility rule).
         x = pl.pallas_call(
-            _make_kernel(n, newton_iters, fp32_tail),
+            _make_kernel(n, newton_iters, fp32_tail,
+                         adaptive=adaptive),
             grid=(B // _T,),
             out_shape=jax.ShapeDtypeStruct((B // _T, _T, n), jnp.float32),
             in_specs=[

@@ -116,3 +116,30 @@ def test_failure_surface_at_scale_real_circuit():
     assert c.stamps.n > 16384
     with pytest.raises(LinAlgError):
         c.solve()
+
+
+def test_residual_warning_two_level_gate(caplog):
+    """Round-2 review "What's weak" #2: an f32 solve can be ~1% wrong yet
+    clear the 3e-2 singularity ceiling silently.  Residuals above 1e-4 now
+    log a warning and mark the Solution stats, while still returning the
+    answer (the gate's failure ceiling is unchanged)."""
+    import logging
+
+    c = Circuit(Netlist.from_rows(ladder_rows(16)))
+    fn = c._solve_dense
+
+    def degraded(params):
+        x, _res, method = fn(params)
+        return x, 1e-3, method  # in (warn=1e-4, fail=3e-2): keep + warn
+
+    c._solve_dense = degraded
+    with caplog.at_level(logging.WARNING, logger="nodal_tpu.circuit"):
+        sol = c.solve()
+    assert sol.stats.get("accuracy_warning") is True
+    assert any("degraded" in r.message for r in caplog.records)
+
+    # A clean solve neither warns nor marks the stats.
+    c2 = Circuit(Netlist.from_rows(ladder_rows(16)))
+    with caplog.at_level(logging.WARNING, logger="nodal_tpu.circuit"):
+        sol2 = c2.solve()
+    assert "accuracy_warning" not in sol2.stats
