@@ -334,55 +334,61 @@ def solve_general_sparse(
             np.add.at(y, gr, g_vals * x[gc])
         return b - y
 
-    def attempt(cg_tol):
-        """Build the factorization at ``cg_tol`` and refine.  Returns
-        ``(x, rel, stalled)``; ``x`` is None when CG itself stalled."""
+    def factorization(cg_tol):
+        """b-independent block factorization at ``cg_tol``: ``(solve_cols,
+        YB, lu, piv)``, or None when CG stalled building YB.
+
+        Cached on the stamps object keyed by (stamp-values digest, tol):
+        YB = A11⁻¹A12 is m CG solves — the dominant cost — while each
+        *solve* with the factorization needs only one CG pass for its own
+        RHS, so repeat solves on the same parameter values (the
+        reference's SuperLU refactors every time) drop from ~m+1 CG solves
+        to ~1 + refinement.
+        """
         nonlocal total_iters
+        import hashlib
+
+        key = (hashlib.sha1(g_vals.tobytes()).hexdigest(), float(cg_tol))
+        cache = getattr(stamps, "_general_fact", None)
+        if cache is not None and cache.get("key") == key:
+            return cache["fact"]
+
         if n1 > 0:
-            R = np.zeros((m + 1, n1))
+            solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol)
+            R = np.zeros((m, n1))
             np.add.at(
                 R,
                 (plan.pos[gc[plan.a12_sel]], plan.pos[gr[plan.a12_sel]]),
                 g_vals[plan.a12_sel],
             )
-            R[m] = b1
-
-            solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol)
-            Y = np.empty_like(R)
+            YB = np.empty_like(R)  # rows j = A11^-1 A12[:, j]
             ok = True
-            for lo in range(0, m + 1, _RHS_CHUNK):
-                hi = min(lo + _RHS_CHUNK, m + 1)
+            for lo in range(0, m, _RHS_CHUNK):
+                hi = min(lo + _RHS_CHUNK, m)
                 # Pass host numpy: solve_cols commits its inputs to the
                 # CPU device itself.  A jnp.asarray here would place the
                 # batch on the session default accelerator and drag the
                 # whole vmapped CG onto the (emulated-f64, remote-compile)
                 # TPU path — measured 309 s vs 2.5 s for one such solve.
                 xs, infos = solve_cols(R[lo:hi])
-                Y[lo:hi] = np.asarray(xs)
+                YB[lo:hi] = np.asarray(xs)
                 total_iters += int(np.sum(np.asarray(infos.iterations)))
                 ok = ok and bool(np.all(np.asarray(infos.converged)))
-            if not ok or not np.all(np.isfinite(Y)):
+            if not ok or not np.all(np.isfinite(YB)):
                 logger.error(
                     "AMG-CG stalled on the grounded node block (n1=%d)", n1
                 )
-                return None, np.inf, False
-            YB = Y[:m]   # rows j = A11^-1 A12[:, j]
-            y_b = Y[m]   # A11^-1 b1
+                return None
 
-            # S = A22 - A21 Y_B^T ; rhs_s = b2 - A21 y_b
+            # S = A22 - A21 Y_B^T
             A21YB = np.zeros((m, m))
             if len(a21_v):
                 np.add.at(A21YB, (a21_r,), a21_v[:, None] * YB[:, a21_c].T)
             S = A22 - A21YB
-            rhs_s = b2.copy()
-            if len(a21_v):
-                np.subtract.at(rhs_s, a21_r, a21_v * y_b[a21_c])
         else:
             solve_cols = None
             YB = np.zeros((m, 0))
-            y_b = np.zeros(0)
             S = A22
-            rhs_s = b2
 
         # Pivoted dense factorization of the Schur complement.  A singular
         # S raises LinAlgError here — the same surface as the reference
@@ -401,6 +407,36 @@ def solve_general_sparse(
                 raise np.linalg.LinAlgError("Singular matrix")
         else:
             lu = piv = None
+        fact = (solve_cols, YB, lu, piv)
+        stamps._general_fact = {  # type: ignore[attr-defined]
+            "key": key, "fact": fact,
+        }
+        return fact
+
+    def attempt(cg_tol):
+        """Solve with the (cached) factorization at ``cg_tol`` and refine.
+        Returns ``(x, rel, stalled)``; ``x`` is None when CG stalled."""
+        nonlocal total_iters
+        fact = factorization(cg_tol)
+        if fact is None:
+            return None, np.inf, False
+        solve_cols, YB, lu, piv = fact
+        if n1 > 0:
+            y_bs, info = solve_cols(b1[None])
+            total_iters += int(np.asarray(info.iterations)[0])
+            y_b = np.asarray(y_bs)[0]  # A11^-1 b1
+            if not bool(np.asarray(info.converged)[0]) or \
+                    not np.all(np.isfinite(y_b)):
+                logger.error(
+                    "AMG-CG stalled on the grounded node block (n1=%d)", n1
+                )
+                return None, np.inf, False
+            rhs_s = b2.copy()
+            if len(a21_v):
+                np.subtract.at(rhs_s, a21_r, a21_v * y_b[a21_c])
+        else:
+            y_b = np.zeros(0)
+            rhs_s = b2
 
         def back_substitute(r1, r2):
             """One solve with the (approximate) block factorization."""
