@@ -66,6 +66,41 @@ def test_residual_audit(tmp_netlist):
     assert np.all(res < 1e-9)
 
 
+def test_residual_gather_fold_matches_scatter(tmp_netlist):
+    """The gather-fold audit must equal the scatter-add form bit-for-bit
+    wherever both apply (the fold is the fast path on TPU; the scatter is
+    the dense-row fallback and the historical reference)."""
+    import jax
+    import jax.numpy as jnp2
+
+    from nodal_tpu.batch import _coo_residuals, _resid_gather_tables
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    rows = list(grid_rows(5, 8, (0, 0), (4, 7))) + [
+        ["src", "A", "1", "n1_1", "g"],
+        ["e1", "E", "2", "n0_0", "g"],
+        ["d", "VCCS", "0.5", "n2_2", "g", "n0_0", "g"],
+    ]
+    circuit = Circuit(Netlist.from_rows(rows))
+    solver = BatchedSolver(circuit, dtype=jnp.float64)
+    rng = np.random.default_rng(7)
+    batch = circuit.stamps.params * rng.uniform(
+        0.8, 1.2, (6, len(circuit.stamps.params)))
+    xs = jnp2.asarray(np.asarray(solver(batch), np.float64))
+    batch = jnp2.asarray(batch)
+
+    assert _resid_gather_tables(circuit.stamps) is not None
+    fold = np.asarray(_coo_residuals(circuit.stamps, batch, xs))
+    circuit.stamps.__dict__["_resid_gf"] = None  # force the scatter path
+    try:
+        jax.clear_caches()
+        scatter = np.asarray(_coo_residuals(circuit.stamps, batch, xs))
+    finally:
+        del circuit.stamps.__dict__["_resid_gf"]
+    np.testing.assert_array_equal(fold, scatter)
+    assert fold.max() < 1e-9  # solutions are genuinely good
+
+
 def test_sweep_api(tmp_netlist):
     from nodal_tpu.batch import sweep
 
