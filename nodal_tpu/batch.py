@@ -107,6 +107,45 @@ def _schur_band_assembler(stamps: StampTensors, dtype, bplan):
     return blocks
 
 
+def _make_schur_band_solver(assemble, multi_solve, nplan, nk: int, kbe: int):
+    """(solve_batch, solve_rhs_t) for the banded Schur paths.
+
+    ``solve_batch(pb, rhs=None)`` solves G x = b (or the given natural-order
+    RHS); ``solve_rhs_t(pb, rhs)`` solves the TRANSPOSED system Gᵀλ = rhs
+    for the adjoint pass.  The node block A is symmetric (SPD — the Schur
+    precondition), so transposition only swaps the border blocks
+    B ↔ Cᵀ and D → Dᵀ; the same banded multi-RHS kernel and Schur algebra
+    run unchanged, at the same cost as the forward solve.
+    """
+    orderv = np.asarray(nplan.order)
+
+    def core(params_batch, rhs=None, transpose=False):
+        W, Bm, C, D, bk, bb = jax.vmap(assemble)(params_batch)
+        if rhs is None:
+            rk, rb = bk, bb
+        else:
+            rhs = rhs.astype(W.dtype)
+            rk = jnp.zeros((rhs.shape[0], nplan.n_pad), W.dtype
+                           ).at[:, :nk].set(rhs[:, orderv])
+            rb = rhs[:, nk:]
+        if transpose:
+            Bm, C, D = (jnp.swapaxes(C, 1, 2), jnp.swapaxes(Bm, 1, 2),
+                        jnp.swapaxes(D, 1, 2))
+        R = jnp.concatenate([Bm, rk[..., None]], axis=-1)
+        Y = multi_solve(W, R)
+        YB = Y[..., :kbe]
+        yb = Y[..., kbe]
+        with jax.default_matmul_precision("highest"):
+            S = D - C @ YB
+            rhs_b = rb - (C @ yb[..., None])[..., 0]
+            xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
+            xk_band = yb - (YB @ xb[..., None])[..., 0]
+        xk = nplan.unpermute(xk_band)
+        return jnp.concatenate([xk, xb], axis=-1)
+
+    return core, (lambda pb, rhs: core(pb, rhs, transpose=True))
+
+
 def _schur_supported(stamps: StampTensors) -> bool:
     """Host-side probe: is the resistive node block A = G[:nk, :nk] SPD?
 
@@ -237,42 +276,99 @@ def _resid_gather_tables(stamps: StampTensors):
     return out
 
 
+def _coo_apply(stamps: StampTensors, g_vals, xs):
+    """``y = G·x`` straight from the COO stamp entries — no matrix built.
+
+    Folds each row's few entries with dense gathers when rows are narrow
+    (the common case) — the per-sample scatter-add this replaces was ~45%
+    of the fused Monte Carlo program's runtime on TPU (252k/s without the
+    audit vs 135k/s with the scatter form).  Dense rows fall back to the
+    scatter-add.
+    """
+    gf = _resid_gather_tables(stamps)
+    if gf is not None:
+        entry_ids, x_cols, valid, _, _ = gf
+        vmask = jnp.asarray(valid, dtype=g_vals.dtype)
+        return jnp.sum(g_vals[:, entry_ids] * vmask * xs[:, x_cols],
+                       axis=-1)
+    gx = g_vals * xs[:, stamps.g_cols]
+    return jnp.zeros_like(xs).at[:, stamps.g_rows].add(gx)
+
+
+def _coo_rhs_vec(stamps: StampTensors, rhs_vals, like):
+    """Natural-order RHS vector ``b`` from the COO RHS entries; ``like``
+    fixes the [B, n] output shape/dtype."""
+    if not len(stamps.rhs_rows):
+        return jnp.zeros_like(like)
+    gf = _resid_gather_tables(stamps)
+    if gf is not None:
+        _, _, _, rhs_ids, rhs_valid = gf
+        return jnp.sum(
+            rhs_vals[:, rhs_ids]
+            * jnp.asarray(rhs_valid, dtype=rhs_vals.dtype),
+            axis=-1,
+        )
+    return jnp.zeros_like(like).at[:, stamps.rhs_rows].add(rhs_vals)
+
+
 def _coo_residuals(stamps: StampTensors, params_batch, xs):
     """Relative residuals straight from the COO stamp entries (no matrix
     built): ``r = b − G·x`` evaluated entrywise, O(B·nnz).  Shared by
     BatchedSolver.residuals (f64, host) and monte_carlo's fused audit
     (sweep precision, on device); trace-time dtype follows the inputs.
-
-    ``G·x`` folds each row's few entries with dense gathers when rows are
-    narrow (the common case) — the per-sample scatter-add this replaces
-    was ~45% of the fused Monte Carlo program's runtime on TPU (252k/s
-    without the audit vs 135k/s with the scatter form).  Dense rows fall
-    back to the scatter-add.
     """
     from nodal_tpu.models.stamps import stamp_values
 
     g_vals, rhs_vals = jax.vmap(lambda p: stamp_values(stamps, p))(
         params_batch)
-    gf = _resid_gather_tables(stamps)
-    if gf is not None:
-        entry_ids, x_cols, valid, rhs_ids, rhs_valid = gf
-        vmask = jnp.asarray(valid, dtype=g_vals.dtype)
-        y = jnp.sum(g_vals[:, entry_ids] * vmask * xs[:, x_cols], axis=-1)
-        if len(stamps.rhs_rows):
-            b = jnp.sum(
-                rhs_vals[:, rhs_ids]
-                * jnp.asarray(rhs_valid, dtype=rhs_vals.dtype),
-                axis=-1,
-            )
-        else:
-            b = jnp.zeros_like(xs)
-    else:
-        gx = g_vals * xs[:, stamps.g_cols]
-        y = jnp.zeros_like(xs).at[:, stamps.g_rows].add(gx)
-        b = jnp.zeros_like(xs).at[:, stamps.rhs_rows].add(rhs_vals)
+    y = _coo_apply(stamps, g_vals, xs)
+    b = _coo_rhs_vec(stamps, rhs_vals, xs)
     return jnp.max(jnp.abs(b - y), axis=1) / jnp.maximum(
         jnp.max(jnp.abs(b), axis=1), 1.0
     )
+
+
+def _coo_defect_refine(stamps: StampTensors, params_batch, rhs, x, resolve,
+                       iters: int = 2):
+    """f64 defect correction against the *exact* COO operator.
+
+    ``x`` is the f32-tier solution (any dtype; promoted to f64); ``rhs``
+    is an explicit natural-order RHS or None for the stamped one;
+    ``resolve`` maps an f32 natural-order residual to an f32 correction
+    (a re-solve against the already-assembled/factored f32 operator).
+    Refining against the COO entries rather than the assembled-and-rounded
+    f32 matrix is what buys true f64 accuracy (~1e-12) instead of an
+    ~1e-7 floor set by assembly rounding — the band/tridiag refined tiers
+    established this; the block/schur/dense tiers share it here.
+    """
+    from nodal_tpu.models.stamps import stamp_values
+
+    g_vals, rhs_vals = jax.vmap(lambda p: stamp_values(stamps, p))(
+        params_batch.astype(jnp.float64))
+    x = x.astype(jnp.float64)
+    if rhs is None:
+        b64 = _coo_rhs_vec(stamps, rhs_vals, x)
+    else:
+        b64 = rhs.astype(jnp.float64)
+    for _ in range(iters):
+        r = b64 - _coo_apply(stamps, g_vals, x)
+        x = x + resolve(r.astype(jnp.float32)).astype(jnp.float64)
+    return x
+
+
+def _transposed_stamps(stamps: StampTensors) -> StampTensors:
+    """A view of the stamps with G's rows/cols swapped (Gᵀ), for adjoint
+    refinement.  The RHS template is untouched — transpose callers always
+    supply an explicit RHS (the cotangent).  Cached: the copy carries its
+    own gather-table cache."""
+    cached = stamps.__dict__.get("_transposed")
+    if cached is None:
+        import dataclasses
+
+        cached = dataclasses.replace(
+            stamps, g_rows=stamps.g_cols, g_cols=stamps.g_rows)
+        stamps.__dict__["_transposed"] = cached
+    return cached
 
 
 def _stamps_of(circuit_or_stamps) -> StampTensors:
@@ -286,14 +382,21 @@ def _stamps_of(circuit_or_stamps) -> StampTensors:
 
 
 def _refined_tridiag_solver(stamps, dtype, iters: int = 2):
-    """Band-space mixed precision: f32 PCR solves, f64 band residuals."""
+    """Band-space mixed precision: f32 PCR solves, f64 band residuals.
+
+    The returned callable also accepts an optional explicit RHS (natural
+    order, [B, n]) replacing the stamped one — the adjoint pass solves the
+    same (symmetric) operator against the cotangent.
+    """
     from nodal_tpu.ops.assemble import assemble_tridiag
     from nodal_tpu.ops.tridiag import tridiag_matvec, tridiag_solve
 
-    def solve_batch(params_batch):
+    def solve_batch(params_batch, rhs=None):
         dl, d, du, b = jax.vmap(
             lambda p: assemble_tridiag(stamps, p, dtype=jnp.float64)
         )(params_batch.astype(jnp.float64))
+        if rhs is not None:
+            b = rhs.astype(jnp.float64)
         f32 = lambda t: t.astype(jnp.float32)  # noqa: E731
         x = tridiag_solve(f32(dl), f32(d), f32(du), f32(b)).astype(jnp.float64)
         for _ in range(iters):
@@ -422,10 +525,12 @@ class BatchedSolver:
                 solve_batch = _refined_tridiag_solver(self.stamps, dtype)
             else:
 
-                def solve_batch(params_batch):
+                def solve_batch(params_batch, rhs=None):
                     dl, d, du, b = jax.vmap(
                         lambda p: assemble_tridiag(self.stamps, p, dtype=dtype)
                     )(params_batch)
+                    if rhs is not None:
+                        b = rhs.astype(b.dtype)
                     # Pallas VMEM-resident PCR on TPU f32 (one HBM pass)
                     # when the chain fits VMEM; generic XLA PCR otherwise.
                     from nodal_tpu.ops.pallas_tridiag import (
@@ -440,6 +545,10 @@ class BatchedSolver:
                     ):
                         return pcr_solve_padded(dl, d, du, b)
                     return tridiag.tridiag_solve(dl, d, du, b)
+
+            # Resistive ⇒ symmetric operator: the adjoint solve is the
+            # same solve with the cotangent as RHS.
+            solve_rhs_t = solve_batch
         elif method == "band":
             plan = band_plan(self.stamps)
             from nodal_tpu.ops.band import band_thomas_solve
@@ -465,14 +574,19 @@ class BatchedSolver:
             # f64 LU exists there, so it is always f32 solves + f64
             # band-space residual refinement — same as refine=True.
             refined = refine or (on_tpu and jnp.dtype(dtype) == jnp.float64)
+            order = np.asarray(plan.order)
+
+            def _to_band(rhs, dt):
+                # natural-order [B, n] RHS -> [B, n_pad] in band order
+                return jnp.zeros((rhs.shape[0], plan.n_pad), dt
+                                 ).at[:, :plan.n].set(rhs[:, order].astype(dt))
 
             if refined:
                 from nodal_tpu.models.stamps import stamp_values
 
                 stamps = self.stamps
-                order = np.asarray(plan.order)
 
-                def solve_batch(params_batch):
+                def solve_batch(params_batch, rhs=None):
                     # f32 banded solves, f64 COO residuals.  The residual
                     # comes straight from the stamp entries (O(B·nnz), the
                     # audit's formulation) rather than a band_matvec on f64
@@ -484,12 +598,17 @@ class BatchedSolver:
                         lambda p: plan.assemble(stamps, p,
                                                 dtype=jnp.float32)
                     )(params_batch.astype(jnp.float32))
+                    if rhs is not None:
+                        b = _to_band(rhs, jnp.float32)
                     x = band_core(W, b).astype(jnp.float64)  # [B, n_pad]
                     g_vals, rhs_vals = jax.vmap(
                         lambda p: stamp_values(stamps, p)
                     )(params_batch.astype(jnp.float64))
-                    b64 = jnp.zeros((B, stamps.n), jnp.float64
-                                    ).at[:, stamps.rhs_rows].add(rhs_vals)
+                    if rhs is None:
+                        b64 = jnp.zeros((B, stamps.n), jnp.float64
+                                        ).at[:, stamps.rhs_rows].add(rhs_vals)
+                    else:
+                        b64 = rhs.astype(jnp.float64)
                     for _ in range(2):
                         xn = plan.unpermute(x)  # natural order, [B, n]
                         y = jnp.zeros_like(xn).at[:, stamps.g_rows].add(
@@ -503,40 +622,81 @@ class BatchedSolver:
 
             else:
 
-                def solve_batch(params_batch):
+                def solve_batch(params_batch, rhs=None):
                     W, b = jax.vmap(
                         lambda p: plan.assemble(self.stamps, p, dtype=dtype)
                     )(params_batch)
+                    if rhs is not None:
+                        b = _to_band(rhs, W.dtype)
                     return plan.unpermute(band_core(W, b))
+
+            solve_rhs_t = solve_batch  # symmetric (resistive)
 
         elif method == "block":
 
             def single(params):
                 return assemble_dense(self.stamps, params, dtype=dtype)
 
-            def solve_batch(params_batch):
-                from nodal_tpu.ops.pallas_block_lu import (_pad,
-                                                           lu_fits_vmem,
-                                                           pallas_lu_solve)
+            if refine:
+                stamps = self.stamps
 
-                # VMEM-resident mega-kernel: reads G once, writes x only
-                # (the XLA path round-trips every Schur complement through
-                # HBM).  f32 only; assembly emits the 128-padded shape
-                # directly so no second multi-GB copy is materialized.
-                if (not refine
-                        and jax.default_backend() == "tpu"
-                        and jnp.dtype(dtype) == jnp.float32
-                        and lu_fits_vmem(self.stamps.n)):
-                    n_pad = _pad(self.stamps.n)
+                def solve_batch(params_batch, rhs=None):
+                    # f32 factorization once, then f64 defect correction
+                    # against the exact COO operator (not the assembled
+                    # f32-rounded G — that would floor accuracy at ~1e-7).
                     G, b = jax.vmap(
-                        lambda p: assemble_dense(self.stamps, p,
-                                                 dtype=dtype, pad_to=n_pad)
-                    )(params_batch)
-                    return pallas_lu_solve(G, b, n_valid=self.stamps.n)
-                G, b = jax.vmap(single)(params_batch)
-                if refine:
-                    return block_lu.blocked_solve_refined(G, b)
-                return block_lu.blocked_solve(G, b)
+                        lambda p: assemble_dense(stamps, p,
+                                                 dtype=jnp.float32)
+                    )(params_batch.astype(jnp.float32))
+                    if rhs is not None:
+                        b = rhs.astype(jnp.float32)
+                    blk = block_lu._BLOCK
+                    with jax.default_matmul_precision("highest"):
+                        Ap, bp, nv = block_lu._pad_to_block(G, b, blk)
+                        X = block_lu.blocked_factor(Ap, blk)
+                        x = block_lu.blocked_solve_factored(
+                            X, bp, blk)[..., :nv]
+
+                        def resolve(r32):
+                            rp = jnp.pad(
+                                r32, [(0, 0), (0, Ap.shape[-1] - nv)])
+                            return block_lu.blocked_solve_factored(
+                                X, rp, blk)[..., :nv]
+
+                        return _coo_defect_refine(
+                            stamps, params_batch, rhs, x, resolve)
+
+            else:
+
+                def solve_batch(params_batch, rhs=None):
+                    from nodal_tpu.ops.pallas_block_lu import (
+                        _pad, lu_fits_vmem, pallas_lu_solve)
+
+                    # VMEM-resident mega-kernel: reads G once, writes x
+                    # only (the XLA path round-trips every Schur
+                    # complement through HBM).  f32 only; assembly emits
+                    # the 128-padded shape directly so no second multi-GB
+                    # copy is materialized.
+                    if (jax.default_backend() == "tpu"
+                            and jnp.dtype(dtype) == jnp.float32
+                            and lu_fits_vmem(self.stamps.n)):
+                        n_pad = _pad(self.stamps.n)
+                        G, b = jax.vmap(
+                            lambda p: assemble_dense(self.stamps, p,
+                                                     dtype=dtype,
+                                                     pad_to=n_pad)
+                        )(params_batch)
+                        if rhs is not None:
+                            b = jnp.pad(
+                                rhs.astype(dtype),
+                                [(0, 0), (0, n_pad - self.stamps.n)])
+                        return pallas_lu_solve(G, b, n_valid=self.stamps.n)
+                    G, b = jax.vmap(single)(params_batch)
+                    if rhs is not None:
+                        b = rhs.astype(b.dtype)
+                    return block_lu.blocked_solve(G, b)
+
+            solve_rhs_t = solve_batch  # symmetric (resistive)
 
         elif method == "schur":
             nk = self.stamps.n_kcl
@@ -571,22 +731,9 @@ class BatchedSolver:
                 multi_solve = (pallas_band_solve_multi
                                if band_fits_vmem(nplan.n_pad, nplan.kb)
                                else pallas_band_solve_multi_stream)
-
-                def solve_batch(params_batch):
-                    W, Bm, C, D, bk, bb = jax.vmap(assemble)(params_batch)
-                    R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
-                    Y = multi_solve(W, R)
-                    YB = Y[..., :kbe]
-                    yb = Y[..., kbe]
-                    with jax.default_matmul_precision("highest"):
-                        S = D - C @ YB
-                        rhs_b = bb - (C @ yb[..., None])[..., 0]
-                        xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
-                        xk_band = yb - (YB @ xb[..., None])[..., 0]
-                    xk = nplan.unpermute(xk_band)
-                    return jnp.concatenate([xk, xb], axis=-1)
-
-                self._solve = jax.jit(solve_batch)
+                solve_batch, solve_rhs_t = _make_schur_band_solver(
+                    assemble, multi_solve, nplan, nk, kbe)
+                self._finalize(solve_batch, solve_rhs_t)
                 return
 
             if nplan is not None and nplan.nb >= 2 and nk > 2048:
@@ -600,24 +747,11 @@ class BatchedSolver:
 
                 sdtype = jnp.float64 if refine else dtype
                 assemble = _schur_band_assembler(self.stamps, sdtype, nplan)
-
-                def solve_batch(params_batch):
-                    W, Bm, C, D, bk, bb = jax.vmap(assemble)(params_batch)
-                    R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
-                    Y = band_thomas_solve(W, R)
-                    YB = Y[..., :kbe]
-                    yb = Y[..., kbe]
-                    with jax.default_matmul_precision("highest"):
-                        S = D - C @ YB
-                        rhs_b = bb - (C @ yb[..., None])[..., 0]
-                        xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
-                        xk_band = yb - (YB @ xb[..., None])[..., 0]
-                    xk = nplan.unpermute(xk_band)
-                    # refine=True computes in f64 and returns f64, matching
-                    # the other refined paths' convention.
-                    return jnp.concatenate([xk, xb], axis=-1)
-
-                self._solve = jax.jit(solve_batch)
+                # refine=True computes in f64 and returns f64, matching
+                # the other refined paths' convention.
+                solve_batch, solve_rhs_t = _make_schur_band_solver(
+                    assemble, band_thomas_solve, nplan, nk, kbe)
+                self._finalize(solve_batch, solve_rhs_t)
                 return
 
             use_pallas = on_tpu_f32 and lu_fits_vmem(nk)
@@ -625,9 +759,19 @@ class BatchedSolver:
                 plan = _schur_block_assembler(self.stamps, dtype,
                                               _pad(nk))
 
-                def solve_batch(params_batch):
+                def schur_lu_core(params_batch, rhs=None, transpose=False):
                     A, Bm, C, D, bk, bb = jax.vmap(plan)(params_batch)
-                    R = jnp.concatenate([Bm, bk[..., None]], axis=-1)
+                    if rhs is None:
+                        rk, rb = bk, bb
+                    else:
+                        rhs = rhs.astype(A.dtype)
+                        rk, rb = rhs[:, :nk], rhs[:, nk:]
+                    if transpose:
+                        # A is symmetric (SPD probe) — Gᵀ swaps the border.
+                        Bm, C, D = (jnp.swapaxes(C, 1, 2),
+                                    jnp.swapaxes(Bm, 1, 2),
+                                    jnp.swapaxes(D, 1, 2))
+                    R = jnp.concatenate([Bm, rk[..., None]], axis=-1)
                     R = jnp.pad(
                         R, [(0, 0), (0, A.shape[-1] - nk), (0, 0)]
                     )
@@ -638,46 +782,121 @@ class BatchedSolver:
                     yb = Y[..., kbe]
                     with jax.default_matmul_precision("highest"):
                         S = D - C @ YB
-                        rhs_b = bb - (C @ yb[..., None])[..., 0]
+                        rhs_b = rb - (C @ yb[..., None])[..., 0]
                         xb = jnp.linalg.solve(S, rhs_b[..., None])[..., 0]
                         xk = yb - (YB @ xb[..., None])[..., 0]
                     return jnp.concatenate([xk, xb], axis=-1)
 
-                self._solve = jax.jit(solve_batch)
+                self._finalize(
+                    schur_lu_core,
+                    lambda pb, rhs: schur_lu_core(pb, rhs, transpose=True),
+                )
                 return
 
             def single(params):
                 return assemble_dense(self.stamps, params, dtype=dtype)
 
-            def solve_batch(params_batch):
+            stamps = self.stamps
+
+            def schur_dense_core(params_batch, rhs=None, transpose=False):
                 G, b = jax.vmap(single)(params_batch)
+                if transpose:
+                    # The node block is symmetric, so Gᵀ keeps the SPD-A
+                    # saddle form schur_solve requires.
+                    G = jnp.swapaxes(G, 1, 2)
+                if rhs is not None:
+                    b = rhs.astype(b.dtype)
                 x = block_lu.schur_solve(G, b, nk)
                 if refine:
-                    # f64-residual refinement against the full system; two
-                    # extra Schur solves are O(n²) next to the factor.
-                    G64 = G.astype(jnp.float64)
-                    b64 = b.astype(jnp.float64)
-                    x = x.astype(jnp.float64)
-                    for _ in range(2):
-                        r = b64 - jnp.einsum(
-                            "bij,bj->bi", G64, x,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )
-                        dx = block_lu.schur_solve(G, r.astype(dtype), nk)
-                        x = x + dx.astype(jnp.float64)
+                    # f64 defect correction against the exact COO
+                    # operator; two extra Schur solves are O(n²) next to
+                    # the factorization.
+                    st = _transposed_stamps(stamps) if transpose else stamps
+                    resolve = lambda r32: block_lu.schur_solve(  # noqa
+                        G, r32, nk)
+                    x = _coo_defect_refine(st, params_batch, rhs, x,
+                                           resolve)
                 return x
 
+            solve_batch = schur_dense_core
+            solve_rhs_t = lambda pb, rhs: schur_dense_core(  # noqa: E731
+                pb, rhs, transpose=True)
+
         else:
+            stamps = self.stamps
 
-            def single(params):
-                G, b = assemble_dense(self.stamps, params, dtype=dtype)
+            def dense_core(params_batch, rhs=None, transpose=False):
+                G, b = jax.vmap(
+                    lambda p: assemble_dense(stamps, p, dtype=dtype)
+                )(params_batch)
+                if rhs is not None:
+                    b = rhs.astype(b.dtype)
+                if transpose:
+                    G = jnp.swapaxes(G, 1, 2)
                 if refine:
-                    return dense_solve.solve_refined(G, b)
-                return dense_solve.solve_dense(G, b)
+                    # f32 factorization (TPU has no f64 LU) + f64 defect
+                    # correction against the exact COO operator.
+                    Gf = G.astype(jnp.float32)
+                    x = dense_solve.solve_dense(
+                        Gf, b.astype(jnp.float32)[..., None])[..., 0]
+                    st = _transposed_stamps(stamps) if transpose else stamps
+                    resolve = lambda r32: dense_solve.solve_dense(  # noqa
+                        Gf, r32[..., None])[..., 0]
+                    return _coo_defect_refine(st, params_batch, rhs, x,
+                                              resolve)
+                return dense_solve.solve_dense(G, b[..., None])[..., 0]
 
-            solve_batch = jax.vmap(single)
+            solve_batch = dense_core
+            solve_rhs_t = lambda pb, rhs: dense_core(  # noqa: E731
+                pb, rhs, transpose=True)
 
-        self._solve = jax.jit(solve_batch)
+        self._finalize(solve_batch, solve_rhs_t)
+
+    def _finalize(self, solve_batch, solve_rhs_t):
+        """Wrap the method's solver in an implicit-function custom VJP.
+
+        Makes every BatchedSolver differentiable with ``jax.grad`` —
+        through the Pallas kernels, which have no autodiff rules of their
+        own.  For ``G(p) x = b(p)``, reverse mode is one *adjoint solve*
+        ``Gᵀ λ = x̄`` (``solve_rhs_t``; the same kernels — resistive
+        operators are symmetric, branch-equation ones transpose by
+        swapping the Schur border) followed by the COO chain rule
+        ``v̄_G[e] = −λ[row_e]·x[col_e]``, ``v̄_rhs[e] = λ[row_e]``, pulled
+        back to component values through ``stamp_values``'s own VJP.
+        Cost: one extra solve per backward pass — the textbook adjoint
+        method, never materializing ∂G/∂p.
+        """
+        stamps = self.stamps
+        self._solve_rhs_t = jax.jit(solve_rhs_t)
+
+        @jax.custom_vjp
+        def solve(pb):
+            return solve_batch(pb)
+
+        def fwd(pb):
+            x = solve_batch(pb)
+            return x, (pb, x)
+
+        def bwd(res, xbar):
+            from nodal_tpu.models.stamps import stamp_values
+
+            pb, x = res
+            lam = solve_rhs_t(pb, xbar)
+            wd = jnp.promote_types(lam.dtype, x.dtype)
+            lam = lam.astype(wd)
+            x64 = x.astype(wd)
+            gbar = -(lam[:, stamps.g_rows] * x64[:, stamps.g_cols])
+            rhsbar = lam[:, stamps.rhs_rows]
+
+            def chain(p, gb, rb):
+                _, vjp = jax.vjp(lambda q: stamp_values(stamps, q), p)
+                return vjp((gb.astype(p.dtype), rb.astype(p.dtype)))[0]
+
+            pbar = jax.vmap(chain)(pb, gbar, rhsbar)
+            return (pbar.astype(pb.dtype),)
+
+        solve.defvjp(fwd, bwd)
+        self._solve = jax.jit(solve)
 
     def __call__(self, params_batch):
         """Solve for a [B, n_components] batch of parameter vectors.

@@ -357,7 +357,14 @@ def stamp_values(stamps: StampTensors, params):
     def factor(p_idx, exp):
         x = params[..., p_idx]
         e = jnp.asarray(exp)
-        return jnp.where(e == _LIN, x, jnp.where(e == _INV, 1.0 / x, 1.0))
+        # Double-where so reverse-mode stays NaN-free: 1/x is evaluated on
+        # every slot (where only masks), and a legal zero-valued component
+        # (a 0 V source) referenced by a non-INV slot would otherwise feed
+        # -1/x² · 0 = NaN into the VJP.  Genuinely-INV slots can't be zero
+        # (null resistance is rejected at parse time).
+        inv = e == _INV
+        safe = jnp.where(inv, x, 1.0)
+        return jnp.where(e == _LIN, x, jnp.where(inv, 1.0 / safe, 1.0))
 
     dtype = params.dtype
     g_vals = (
