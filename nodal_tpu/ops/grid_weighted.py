@@ -127,18 +127,52 @@ def weighted_grid_solve(gx, gy, b, *, tol: float = 1e-7,
     the rank-one-regularized CG.  jit/vmap-friendly over (gx, gy, b)...
     with the caveat that the MG hierarchy is rebuilt per call from the
     traced weights (pure functions of gx/gy — exactly what vmap needs).
+
+    Differentiable with ``jax.grad`` w.r.t. ``gx``/``gy``/``b`` via an
+    implicit-function custom VJP (CG's ``lax.while_loop`` cannot be
+    reverse-differentiated, and unrolling it would be absurd anyway):
+    the adjoint solve reuses this very solver (the operator is
+    symmetric), and the edge-conductance cotangent is pure elementwise
+    flux algebra, ``ḡ_e = −(x_i−x_j)(λ_i−λ_j)`` — the foundation for
+    gradient-based design of resistor fabrics (d R_eq / d g_edge on
+    every edge from ONE extra solve).
     """
-    h, w = b.shape
-    mean_scale = 1.0 / (h * w)
 
-    def matvec(x):
-        return weighted_laplacian_matvec(x, gx, gy) + jnp.sum(x) * mean_scale
+    def raw_solve(gx_, gy_, b_):
+        h, w = b_.shape
+        mean_scale = 1.0 / (h * w)
 
-    M = make_weighted_preconditioner(h, w, gx, gy) if mg else None
-    if maxiter is None:
-        maxiter = 300 if mg else 20 * max(h, w)
-    return cg(matvec, b - jnp.mean(b), preconditioner=M, tol=tol,
-              maxiter=maxiter)
+        def matvec(x):
+            return (weighted_laplacian_matvec(x, gx_, gy_)
+                    + jnp.sum(x) * mean_scale)
+
+        M = make_weighted_preconditioner(h, w, gx_, gy_) if mg else None
+        mi = maxiter if maxiter is not None else (300 if mg
+                                                  else 20 * max(h, w))
+        return cg(matvec, b_ - jnp.mean(b_), preconditioner=M, tol=tol,
+                  maxiter=mi)
+
+    @jax.custom_vjp
+    def solve(gx_, gy_, b_):
+        return raw_solve(gx_, gy_, b_)
+
+    def fwd(gx_, gy_, b_):
+        out = raw_solve(gx_, gy_, b_)
+        return out, (gx_, gy_, out[0])
+
+    def bwd(res, ct):
+        gx_, gy_, x = res
+        xbar = ct[0]  # the CGInfo cotangent is ignored (diagnostics)
+        # A = L + 11ᵀ/hw is symmetric and A·1 = 1, so
+        # A⁻¹x̄ = A⁻¹Px̄ + mean(x̄)·1 — one more call to the same solver.
+        lam = raw_solve(gx_, gy_, xbar)[0] + jnp.mean(xbar)
+        gxbar = -(x[:, 1:] - x[:, :-1]) * (lam[:, 1:] - lam[:, :-1])
+        gybar = -(x[1:, :] - x[:-1, :]) * (lam[1:, :] - lam[:-1, :])
+        # x = A⁻¹P b ⇒ b̄ = P A⁻¹ x̄ = λ − mean(λ).
+        return gxbar, gybar, lam - jnp.mean(lam)
+
+    solve.defvjp(fwd, bwd)
+    return solve(gx, gy, b)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "tol"))

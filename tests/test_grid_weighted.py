@@ -101,3 +101,51 @@ def test_weighted_batched_sweep_matches_single():
             h, w, jnp.asarray(gxs[i]), jnp.asarray(gys[i]), a, b, tol=1e-6
         )
         np.testing.assert_allclose(rs[i], float(r_i), rtol=1e-4)
+
+
+def test_weighted_grid_gradients_match_dense_oracle():
+    """Adjoint gradients through the MG-CG solve (custom VJP — CG's
+    while_loop has no reverse rule): d sum(w·x)/d(gx, gy, b) must match
+    autodiff through a dense solve of the same regularized operator, and
+    dR_eq/dg_edge must match finite differences."""
+    from nodal_tpu.ops.grid_weighted import (weighted_equivalent_resistance,
+                                             weighted_laplacian_matvec)
+
+    h, w = 6, 8
+    rng = np.random.default_rng(0)
+    gx = jnp.asarray(rng.uniform(0.5, 2.0, (h, w - 1)))
+    gy = jnp.asarray(rng.uniform(0.5, 2.0, (h - 1, w)))
+    b = jnp.zeros((h, w)).at[0, 0].add(1.0).at[h - 1, w - 1].add(-1.0)
+
+    def dense_x(gx_, gy_, b_):
+        n = h * w
+
+        def mv(v):
+            return (weighted_laplacian_matvec(v.reshape(h, w), gx_, gy_)
+                    .reshape(-1) + jnp.sum(v) / n)
+
+        A = jax.vmap(mv)(jnp.eye(n)).T
+        return jnp.linalg.solve(
+            A, (b_ - jnp.mean(b_)).reshape(-1)).reshape(h, w)
+
+    wt = jnp.asarray(rng.standard_normal((h, w)))
+    f = lambda gx_, gy_, b_: jnp.sum(  # noqa: E731
+        wt * weighted_grid_solve(gx_, gy_, b_, tol=1e-12)[0])
+    fo = lambda gx_, gy_, b_: jnp.sum(wt * dense_x(gx_, gy_, b_))  # noqa
+    g = jax.grad(f, argnums=(0, 1, 2))(gx, gy, b)
+    go = jax.grad(fo, argnums=(0, 1, 2))(gx, gy, b)
+    for a, o in zip(g, go):
+        rel = float(jnp.max(jnp.abs(a - o)) / jnp.max(jnp.abs(o)))
+        assert rel < 1e-8, rel
+
+    # dR_eq/dg on every edge from one extra solve; FD spot check.
+    term = ((0, 0), (h - 1, w - 1))
+    R0, _ = weighted_equivalent_resistance(h, w, gx, gy, *term)
+    dR = jax.grad(
+        lambda gx_: weighted_equivalent_resistance(h, w, gx_, gy, *term)[0]
+    )(gx)
+    eps = 1e-6
+    R1, _ = weighted_equivalent_resistance(
+        h, w, gx.at[2, 3].add(eps), gy, *term)
+    fd = (float(R1) - float(R0)) / eps
+    assert abs(float(dR[2, 3]) - fd) < 1e-5
