@@ -151,6 +151,66 @@ def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto",
     return solves_per_sec, dt, err, audit, solver.method, sustained
 
 
+def bench_monte_carlo(n_nodes: int = 256, n_samples: int = 10_000):
+    """Device-fused Monte Carlo tolerance sweep: sampling + solve + stats +
+    full-batch COO residual audit in ONE program; only the mean/std/audit
+    scalars cross the host link."""
+    from nodal_tpu.batch import monte_carlo
+
+    circuit = _ladder_circuit(n_nodes)
+    tolerances = {f"rs{k}": 0.05 for k in range(n_nodes)}
+    monte_carlo(circuit, tolerances, n=n_samples, seed=0)  # compile
+    best, out = float("inf"), None
+    for seed in range(1, 4):
+        t0 = time.perf_counter()
+        out = monte_carlo(circuit, tolerances, n=n_samples, seed=seed)
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "mc_solves_per_sec": round(n_samples / best, 2),
+        "mc_samples": n_samples,
+        "mc_nodes": n_nodes,
+        "mc_max_residual": float(out["max_residual"]),
+    }
+
+
+def bench_gradient(n_nodes: int, batch: int):
+    """Adjoint-gradient throughput: jitted value_and_grad of a scalar loss
+    over the batched mesh solve — band-kernel forward + ONE adjoint solve
+    through the same kernel + the COO chain rule backward
+    (BatchedSolver._finalize).  The reference (numpy/scipy solves) has no
+    gradient capability at all; this is the gradient-based-design rate."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodal_tpu.batch import BatchedSolver
+
+    circuit = _mesh_circuit(n_nodes)
+    solver = BatchedSolver(circuit, dtype=jnp.float32)
+    mega = jnp.asarray(
+        np.tile(circuit.stamps.params, (batch, 1)).astype(np.float32))
+    target = solver._solve(mega)
+
+    @jax.jit
+    def step(p):
+        def loss(q):
+            x = solver._solve(q * 1.01)
+            return jnp.mean((x - target) ** 2)
+
+        v, g = jax.value_and_grad(loss)(p)
+        return v + jnp.sum(jnp.abs(g))  # scalar fetch = completion barrier
+
+    s = float(step(mega))  # compile
+    assert np.isfinite(s)
+    t0 = time.perf_counter()
+    float(step(mega))
+    dt = time.perf_counter() - t0
+    return {
+        "grad_solves_per_sec": round(batch / dt, 2),
+        "grad_method": solver.method,
+        "grad_batch_size": batch,
+    }
+
+
 def bench_general_sparse(n_nodes: int):
     """The SuperLU-robustness metric (round-2 review item #1): a large
     general MNA system — resistor mesh + E + VCCS + CCCS, grounded ONLY
@@ -285,6 +345,8 @@ def main(argv=None):
                         help="node count for the general-sparse (`-s` "
                         "bordered elimination) metric")
     parser.add_argument("--skip-sparse", action="store_true")
+    parser.add_argument("--skip-mc", action="store_true")
+    parser.add_argument("--skip-grad", action="store_true")
     args = parser.parse_args(argv)
 
     import jax
@@ -373,6 +435,10 @@ def main(argv=None):
                 f"{tag}_refined_sustained_solves_per_sec": round(ref_sust, 2),
             }
         )
+    if not args.skip_mc:
+        extra.update(bench_monte_carlo())
+    if not args.skip_grad:
+        extra.update(bench_gradient(args.nodes, args.general_batch))
     if not args.skip_sparse:
         extra.update(bench_general_sparse(args.sparse_nodes))
     if not args.skip_grid:
