@@ -1122,6 +1122,61 @@ def monte_carlo(
     return out
 
 
+def sensitivities(
+    circuit: Circuit,
+    *,
+    potential: str | None = None,
+    current: str | None = None,
+    dtype=jnp.float64,
+):
+    """d(output)/d(component value) for EVERY component, from one solve
+    plus one adjoint solve (``jax.grad`` through :class:`BatchedSolver`).
+
+    Pass exactly one of ``potential=<node name>`` (sensitivity of that
+    node's voltage) or ``current=<anomalous component name>`` (sensitivity
+    of that branch current).  Returns ``{component name: d output / d
+    value}`` over all components, in netlist units (V per Ω, V per A,
+    ...).  Cost is independent of the component count — the adjoint
+    method's defining property; finite differences would need one extra
+    solve *per component*.  The reference cannot do this at all
+    (numpy/scipy black-box solves, reference nodal.py:325-327).
+    """
+    netlist = circuit.netlist
+    stamps = _stamps_of(circuit)
+    if (potential is None) == (current is None):
+        raise ValueError(
+            "pass exactly one of potential=<node> or current=<component>")
+    if potential is not None:
+        if potential == netlist.ground:
+            return {name: 0.0 for name in stamps.param_slot}
+        if potential not in netlist.nodenum:
+            raise KeyError(f"unknown node {potential!r}")
+        idx = netlist.nodenum[potential]
+    else:
+        if current not in netlist.anomnum:
+            raise KeyError(
+                f"{current!r} is not an anomalous component (no branch "
+                "current variable)")
+        idx = netlist.nums["kcl"] + netlist.anomnum[current]
+
+    import contextlib
+
+    # Follow the Circuit's device-placement policy (small systems and f64
+    # LU belong on the host CPU backend; TPU has no f64 LU) — both the
+    # solver's method dispatch and the solve must run under the scope.
+    scope = (circuit._device_scope() if hasattr(circuit, "_device_scope")
+             else contextlib.nullcontext())
+    with scope:
+        solver = BatchedSolver(circuit, dtype=dtype)
+        p = jnp.asarray(stamps.params, dtype=solver.dtype)[None, :]
+        g = np.asarray(
+            jax.grad(lambda q: solver._solve(q)[0, idx])(p)[0],
+            dtype=np.float64,
+        )
+    return {name: float(g[slot])
+            for name, slot in stamps.param_slot.items()}
+
+
 #: Relative-residual level above which monte_carlo's audit warns.  An f32
 #: fast-path solve of a well-conditioned system lands around 1e-6; crossing
 #: 1e-3 means the solver left its assumptions (e.g. negative samples).

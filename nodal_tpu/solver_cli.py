@@ -45,6 +45,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(whose dispatcher routes VCCS to its VCVS stamp); default is "
         "correct transconductance semantics",
     )
+    parser.add_argument(
+        "--sensitivity",
+        metavar="TARGET",
+        default=None,
+        help="also print d TARGET / d value for every component, where "
+        "TARGET is an output quantity as printed, e.g. 'e(2)' or 'i(v1)' "
+        "— computed by the adjoint method (one extra solve total, not one "
+        "per component)",
+    )
     return parser
 
 
@@ -125,7 +134,7 @@ def main(argv=None) -> None:
 
         nodal_tpu.enable_x64()
 
-    if _try_native(args):
+    if args.sensitivity is None and _try_native(args):
         return
 
     import time
@@ -152,6 +161,29 @@ def main(argv=None) -> None:
     t2 = time.perf_counter()
 
     print(solution)
+    if args.sensitivity is not None:
+        import re
+
+        m = re.fullmatch(r"([ei])\((.+)\)", args.sensitivity.strip())
+        if m is None:
+            print(f"bad --sensitivity target {args.sensitivity!r}: "
+                  "expected e(<node>) or i(<component>)", file=sys.stderr)
+            sys.exit(1)
+        from nodal_tpu.batch import sensitivities
+
+        kind, name = m.group(1), m.group(2)
+        try:
+            sens = sensitivities(
+                circuit,
+                **({"potential": name} if kind == "e"
+                   else {"current": name}),
+            )
+        except KeyError as exc:
+            print(f"--sensitivity: {exc.args[0]}", file=sys.stderr)
+            sys.exit(1)
+        print(f"Sensitivities of {kind}({name}):")
+        for comp in sorted(sens):
+            print(f"d/d({comp}) \t= {sens[comp]}")
     if args.stats:
         detail = ""
         if solution.stats:

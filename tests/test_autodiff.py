@@ -179,3 +179,49 @@ def test_zero_valued_source_grad_is_nan_free():
     p = jnp.asarray(circuit.stamps.params)[None, :]
     g = jax.grad(lambda q: jnp.sum(solver._solve(q)))(p)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sensitivities_api_matches_finite_differences():
+    from nodal_tpu.batch import sensitivities
+
+    rows = [r.split(",") for r in (
+        "r1,R,2,1,4", "r2,R,2,1,g", "r3,R,0.5,1,2",
+        "e1,E,8,4,g", "a1,A,4,1,2", "d1,CCCS,2,2,g,1,g,r2")]
+    circuit = Circuit(Netlist.from_rows(rows))
+    sens = sensitivities(circuit, current="e1")
+    base = circuit.stamps.params.copy()
+
+    def i_e1(params):
+        import dataclasses
+
+        st = circuit.stamps
+        from nodal_tpu.ops.assemble import assemble_dense
+
+        G, b = assemble_dense(st, jnp.asarray(params, jnp.float64))
+        x = np.linalg.solve(np.asarray(G), np.asarray(b))
+        return x[circuit.netlist.nums["kcl"]
+                 + circuit.netlist.anomnum["e1"]]
+
+    for name, slot in circuit.stamps.param_slot.items():
+        eps = 1e-6 * max(abs(base[slot]), 1.0)
+        p = base.copy(); p[slot] += eps
+        m = base.copy(); m[slot] -= eps
+        fd = (i_e1(p) - i_e1(m)) / (2 * eps)
+        assert abs(sens[name] - fd) < 1e-6 * max(1.0, abs(fd)), (name, sens[name], fd)
+
+
+def test_sensitivities_ground_is_zero_and_errors():
+    import pytest as _pytest
+
+    from nodal_tpu.batch import sensitivities
+
+    circuit = Circuit(Netlist.from_rows(ladder_rows(8)))
+    gnd = circuit.netlist.ground
+    assert all(v == 0.0 for v in
+               sensitivities(circuit, potential=gnd).values())
+    with _pytest.raises(ValueError):
+        sensitivities(circuit)
+    with _pytest.raises(KeyError):
+        sensitivities(circuit, potential="nope")
+    with _pytest.raises(KeyError):
+        sensitivities(circuit, current="rs0")

@@ -164,3 +164,30 @@ def test_resistance_cli_native_rejects_non_resistive(tmp_netlist, capsys):
         equiv_cli.main(["--native", "on", path])
     assert exc.value.code == 1
     assert "Resistors are the only component" in capsys.readouterr().out
+
+
+def test_solver_cli_sensitivity(tmp_netlist, capsys):
+    """--sensitivity prints d TARGET / d value per component via the
+    adjoint method; divider values are analytic: e(2) = -I·r3 relative to
+    ground, so d/d(source)=-r3=-1, d/d(r3)=-I=-1, d/d(r2)=0."""
+    solver_cli.main([tmp_netlist(fx.DIVIDER), "--sensitivity", "e(2)"])
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    assert "Sensitivities of e(2):" in lines
+    sens = {
+        ln.split(" \t= ")[0][4:-1]: float(ln.split(" \t= ")[1])
+        for ln in lines if ln.startswith("d/d(")
+    }
+    np.testing.assert_allclose(sens["1"], -1.0, atol=1e-9)
+    np.testing.assert_allclose(sens["r3"], -1.0, atol=1e-9)
+    np.testing.assert_allclose(sens["r2"], 0.0, atol=1e-9)
+
+
+def test_solver_cli_sensitivity_bad_target_exit_1(tmp_netlist):
+    with pytest.raises(SystemExit) as exc:
+        solver_cli.main([tmp_netlist(fx.DIVIDER), "--sensitivity", "2"])
+    assert exc.value.code == 1
+    with pytest.raises(SystemExit) as exc:
+        solver_cli.main([tmp_netlist(fx.DIVIDER),
+                         "--sensitivity", "e(nope)"])
+    assert exc.value.code == 1
