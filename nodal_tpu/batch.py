@@ -356,6 +356,51 @@ def _coo_defect_refine(stamps: StampTensors, params_batch, rhs, x, resolve,
     return x
 
 
+def make_adjoint_solver(stamps: StampTensors, solve_batch, solve_rhs_t):
+    """Implicit-function custom VJP around a batched MNA solve.
+
+    ``solve_batch(pb) -> x`` solves ``G(p)·x = b(p)`` per batch row;
+    ``solve_rhs_t(pb, rhs) -> λ`` solves the TRANSPOSED system against an
+    arbitrary natural-order RHS.  Reverse mode is then one *adjoint
+    solve* ``Gᵀλ = x̄`` (the same kernels — resistive operators are
+    symmetric, branch-equation ones transpose by swapping the Schur
+    border) followed by the COO chain rule ``v̄_G[e] = −λ[row_e]·x[col_e]``,
+    ``v̄_rhs[e] = λ[row_e]``, pulled back to component values through
+    ``stamp_values``'s own VJP.  Cost: one extra solve per backward pass —
+    the textbook adjoint method, never materializing ∂G/∂p.  Shared by
+    BatchedSolver and the GSPMD-sharded multi-chip solver.
+    """
+
+    @jax.custom_vjp
+    def solve(pb):
+        return solve_batch(pb)
+
+    def fwd(pb):
+        x = solve_batch(pb)
+        return x, (pb, x)
+
+    def bwd(res, xbar):
+        from nodal_tpu.models.stamps import stamp_values
+
+        pb, x = res
+        lam = solve_rhs_t(pb, xbar)
+        wd = jnp.promote_types(lam.dtype, x.dtype)
+        lam = lam.astype(wd)
+        x64 = x.astype(wd)
+        gbar = -(lam[:, stamps.g_rows] * x64[:, stamps.g_cols])
+        rhsbar = lam[:, stamps.rhs_rows]
+
+        def chain(p, gb, rb):
+            _, vjp = jax.vjp(lambda q: stamp_values(stamps, q), p)
+            return vjp((gb.astype(p.dtype), rb.astype(p.dtype)))[0]
+
+        pbar = jax.vmap(chain)(pb, gbar, rhsbar)
+        return (pbar.astype(pb.dtype),)
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
 def _transposed_stamps(stamps: StampTensors) -> StampTensors:
     """A view of the stamps with G's rows/cols swapped (Gᵀ), for adjoint
     refinement.  The RHS template is untouched — transpose callers always
@@ -857,46 +902,11 @@ class BatchedSolver:
 
         Makes every BatchedSolver differentiable with ``jax.grad`` —
         through the Pallas kernels, which have no autodiff rules of their
-        own.  For ``G(p) x = b(p)``, reverse mode is one *adjoint solve*
-        ``Gᵀ λ = x̄`` (``solve_rhs_t``; the same kernels — resistive
-        operators are symmetric, branch-equation ones transpose by
-        swapping the Schur border) followed by the COO chain rule
-        ``v̄_G[e] = −λ[row_e]·x[col_e]``, ``v̄_rhs[e] = λ[row_e]``, pulled
-        back to component values through ``stamp_values``'s own VJP.
-        Cost: one extra solve per backward pass — the textbook adjoint
-        method, never materializing ∂G/∂p.
+        own.  See :func:`make_adjoint_solver`.
         """
-        stamps = self.stamps
         self._solve_rhs_t = jax.jit(solve_rhs_t)
-
-        @jax.custom_vjp
-        def solve(pb):
-            return solve_batch(pb)
-
-        def fwd(pb):
-            x = solve_batch(pb)
-            return x, (pb, x)
-
-        def bwd(res, xbar):
-            from nodal_tpu.models.stamps import stamp_values
-
-            pb, x = res
-            lam = solve_rhs_t(pb, xbar)
-            wd = jnp.promote_types(lam.dtype, x.dtype)
-            lam = lam.astype(wd)
-            x64 = x.astype(wd)
-            gbar = -(lam[:, stamps.g_rows] * x64[:, stamps.g_cols])
-            rhsbar = lam[:, stamps.rhs_rows]
-
-            def chain(p, gb, rb):
-                _, vjp = jax.vjp(lambda q: stamp_values(stamps, q), p)
-                return vjp((gb.astype(p.dtype), rb.astype(p.dtype)))[0]
-
-            pbar = jax.vmap(chain)(pb, gbar, rhsbar)
-            return (pbar.astype(pb.dtype),)
-
-        solve.defvjp(fwd, bwd)
-        self._solve = jax.jit(solve)
+        self._solve = jax.jit(
+            make_adjoint_solver(self.stamps, solve_batch, solve_rhs_t))
 
     def __call__(self, params_batch):
         """Solve for a [B, n_components] batch of parameter vectors.

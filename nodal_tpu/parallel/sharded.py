@@ -76,45 +76,87 @@ def make_sharded_batch_solver(
         # parallel so the wrapper introduces no collectives at all.
         spec = P(("dp", "sp"), None)
         solve_batch = shard_map(
-            local_pallas, mesh=mesh, in_specs=spec, out_specs=spec,
-            check_vma=False,
+            lambda pb: local_pallas(pb), mesh=mesh,
+            in_specs=spec, out_specs=spec, check_vma=False,
+        )
+        # Adjoint pass: the same per-device kernel against the sharded
+        # cotangent (resistive ⇒ symmetric operator).
+        solve_rhs_t = shard_map(
+            lambda pb, rhs: local_pallas(pb, rhs), mesh=mesh,
+            in_specs=(spec, spec), out_specs=spec, check_vma=False,
         )
     elif resistive and not refine and bandwidth(stamps) <= 1:
 
-        def solve_batch(pb):
+        def solve_batch(pb, rhs=None):
             dl, d, du, b = jax.vmap(
                 lambda p: assemble_tridiag(stamps, p, dtype=dtype)
             )(pb)
+            if rhs is not None:
+                b = rhs.astype(b.dtype)
             return tridiag.tridiag_solve(dl, d, du, b)
 
-    elif plan is not None and plan.nb >= 2:
+        solve_rhs_t = solve_batch  # symmetric
 
-        def solve_batch(pb):
+    elif plan is not None and plan.nb >= 2:
+        import numpy as _np
+
+        order = _np.asarray(plan.order)
+
+        def solve_batch(pb, rhs=None):
             W, b = jax.vmap(
                 lambda p: plan.assemble(stamps, p, dtype=dtype)
             )(pb)
+            if rhs is not None:
+                b = jnp.zeros((rhs.shape[0], plan.n_pad), W.dtype
+                              ).at[:, :plan.n].set(
+                                  rhs[:, order].astype(W.dtype))
             return plan.unpermute(band_thomas_solve(W, b))
+
+        solve_rhs_t = solve_batch  # symmetric
 
     elif resistive and not refine:
 
-        def solve_batch(pb):
+        def solve_batch(pb, rhs=None):
             G, b = jax.vmap(
                 lambda p: assemble_dense(stamps, p, dtype=dtype)
             )(pb)
+            if rhs is not None:
+                b = rhs.astype(b.dtype)
             return block_lu.blocked_solve(G, b)
+
+        solve_rhs_t = solve_batch  # symmetric
 
     else:
 
-        def single(params):
-            G, b = assemble_dense(stamps, params, dtype=dtype)
+        def solve_batch(pb, rhs=None, transpose=False):
+            G, b = jax.vmap(
+                lambda p: assemble_dense(stamps, p, dtype=dtype)
+            )(pb)
+            if rhs is not None:
+                b = rhs.astype(b.dtype)
+            if transpose:
+                G = jnp.swapaxes(G, 1, 2)
             if refine:
-                return dense_solve.solve_refined(G, b)
-            return dense_solve.solve_dense(G, b)
+                from nodal_tpu.batch import _coo_defect_refine
+                from nodal_tpu.batch import _transposed_stamps
 
-        solve_batch = jax.vmap(single)
+                Gf = G.astype(jnp.float32)
+                x = dense_solve.solve_dense(
+                    Gf, b.astype(jnp.float32)[..., None])[..., 0]
+                st = _transposed_stamps(stamps) if transpose else stamps
+                resolve = lambda r32: dense_solve.solve_dense(  # noqa
+                    Gf, r32[..., None])[..., 0]
+                return _coo_defect_refine(st, pb, rhs, x, resolve)
+            return dense_solve.solve_dense(G, b[..., None])[..., 0]
 
+        solve_rhs_t = lambda pb, rhs: solve_batch(  # noqa: E731
+            pb, rhs, transpose=True)
+
+    from nodal_tpu.batch import make_adjoint_solver
+
+    solve = make_adjoint_solver(stamps, solve_batch, solve_rhs_t)
     return jax.jit(
-        solve_batch, in_shardings=in_sharding, out_shardings=out_sharding
+        solve, in_shardings=in_sharding, out_shardings=out_sharding
     )
 
 
@@ -136,10 +178,12 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
 
     if bandwidth(stamps) <= 1 and pcr_fits_vmem(stamps.n):
 
-        def local(pb):
+        def local(pb, rhs=None):
             dl, d, du, b = jax.vmap(
                 lambda p: assemble_tridiag(stamps, p, dtype=dtype)
             )(pb)
+            if rhs is not None:
+                b = rhs.astype(b.dtype)
             return pcr_solve_padded(dl, d, du, b)
 
         return local
@@ -154,10 +198,18 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
         else:
             return None
 
-        def local(pb):
+        import numpy as _np
+
+        order = _np.asarray(plan.order)
+
+        def local(pb, rhs=None):
             W, b = jax.vmap(
                 lambda p: plan.assemble(stamps, p, dtype=dtype)
             )(pb)
+            if rhs is not None:
+                b = jnp.zeros((rhs.shape[0], plan.n_pad), W.dtype
+                              ).at[:, :plan.n].set(
+                                  rhs[:, order].astype(W.dtype))
             return plan.unpermute(core(W, b))
 
         return local
@@ -165,11 +217,14 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
     if lu_fits_vmem(stamps.n):
         n_pad = _pad(stamps.n)
 
-        def local(pb):
+        def local(pb, rhs=None):
             G, b = jax.vmap(
                 lambda p: assemble_dense(stamps, p, dtype=dtype,
                                          pad_to=n_pad)
             )(pb)
+            if rhs is not None:
+                b = jnp.pad(rhs.astype(G.dtype),
+                            [(0, 0), (0, n_pad - stamps.n)])
             return pallas_lu_solve(G, b, n_valid=stamps.n)
 
         return local
