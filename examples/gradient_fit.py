@@ -11,7 +11,7 @@ every resistor, then recover values that reproduce the original node
 voltages by minimizing an L2 loss with optax.adam — solver, loss,
 gradient, and update step all compile into one jitted program.
 
-Run:  python examples/gradient_fit.py        (CPU or TPU; ~seconds)
+Run:  python examples/gradient_fit.py        (any JAX platform; ~seconds)
 """
 
 import os
@@ -27,10 +27,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main(argv=None):
     import jax
     import jax.numpy as jnp
-
-    if jax.default_backend() != "tpu":
-        jax.config.update("jax_platforms", "cpu")
-
     import optax
 
     from nodal_tpu import Circuit, Netlist

@@ -117,17 +117,13 @@ def _make_schur_band_solver(assemble, multi_solve, nplan, nk: int, kbe: int):
     B ↔ Cᵀ and D → Dᵀ; the same banded multi-RHS kernel and Schur algebra
     run unchanged, at the same cost as the forward solve.
     """
-    orderv = np.asarray(nplan.order)
-
     def core(params_batch, rhs=None, transpose=False):
         W, Bm, C, D, bk, bb = jax.vmap(assemble)(params_batch)
         if rhs is None:
             rk, rb = bk, bb
         else:
-            rhs = rhs.astype(W.dtype)
-            rk = jnp.zeros((rhs.shape[0], nplan.n_pad), W.dtype
-                           ).at[:, :nk].set(rhs[:, orderv])
-            rb = rhs[:, nk:]
+            rk = nplan.rhs_to_band(rhs, W.dtype)
+            rb = rhs[:, nk:].astype(W.dtype)
         if transpose:
             Bm, C, D = (jnp.swapaxes(C, 1, 2), jnp.swapaxes(Bm, 1, 2),
                         jnp.swapaxes(D, 1, 2))
@@ -356,6 +352,37 @@ def _coo_defect_refine(stamps: StampTensors, params_batch, rhs, x, resolve,
     return x
 
 
+def make_dense_core(stamps: StampTensors, dtype, refine: bool):
+    """``core(pb, rhs=None, transpose=False)``: the dense (pivoted-LU)
+    MNA solve shared by BatchedSolver's 'dense' method and the sharded
+    multi-chip solver's fallback — f32 factorization (TPU has no f64 LU)
+    plus exact-COO f64 defect correction when ``refine`` (3 iterations,
+    matching the accuracy of the per-sample solve_refined it replaced)."""
+    from nodal_tpu.ops import dense_solve
+    from nodal_tpu.ops.assemble import assemble_dense
+
+    def core(params_batch, rhs=None, transpose=False):
+        G, b = jax.vmap(
+            lambda p: assemble_dense(stamps, p, dtype=dtype)
+        )(params_batch)
+        if rhs is not None:
+            b = rhs.astype(b.dtype)
+        if transpose:
+            G = jnp.swapaxes(G, 1, 2)
+        if refine:
+            Gf = G.astype(jnp.float32)
+            x = dense_solve.solve_dense(
+                Gf, b.astype(jnp.float32)[..., None])[..., 0]
+            st = _transposed_stamps(stamps) if transpose else stamps
+            resolve = lambda r32: dense_solve.solve_dense(  # noqa: E731
+                Gf, r32[..., None])[..., 0]
+            return _coo_defect_refine(st, params_batch, rhs, x, resolve,
+                                      iters=3)
+        return dense_solve.solve_dense(G, b[..., None])[..., 0]
+
+    return core
+
+
 def make_adjoint_solver(stamps: StampTensors, solve_batch, solve_rhs_t):
     """Implicit-function custom VJP around a batched MNA solve.
 
@@ -369,6 +396,12 @@ def make_adjoint_solver(stamps: StampTensors, solve_batch, solve_rhs_t):
     ``stamp_values``'s own VJP.  Cost: one extra solve per backward pass —
     the textbook adjoint method, never materializing ∂G/∂p.  Shared by
     BatchedSolver and the GSPMD-sharded multi-chip solver.
+
+    Limitation: custom_vjp disables *forward-mode* AD (``jax.jvp`` /
+    ``jacfwd`` raise TypeError).  Reverse mode is the right shape for
+    circuit problems (many parameters, few outputs); per-output
+    sensitivities come from :func:`sensitivities` (adjoint), and full
+    Jacobians from vmapped ``jax.grad`` rows.
     """
 
     @jax.custom_vjp
@@ -619,12 +652,6 @@ class BatchedSolver:
             # f64 LU exists there, so it is always f32 solves + f64
             # band-space residual refinement — same as refine=True.
             refined = refine or (on_tpu and jnp.dtype(dtype) == jnp.float64)
-            order = np.asarray(plan.order)
-
-            def _to_band(rhs, dt):
-                # natural-order [B, n] RHS -> [B, n_pad] in band order
-                return jnp.zeros((rhs.shape[0], plan.n_pad), dt
-                                 ).at[:, :plan.n].set(rhs[:, order].astype(dt))
 
             if refined:
                 from nodal_tpu.models.stamps import stamp_values
@@ -644,24 +671,21 @@ class BatchedSolver:
                                                 dtype=jnp.float32)
                     )(params_batch.astype(jnp.float32))
                     if rhs is not None:
-                        b = _to_band(rhs, jnp.float32)
+                        b = plan.rhs_to_band(rhs, jnp.float32)
                     x = band_core(W, b).astype(jnp.float64)  # [B, n_pad]
                     g_vals, rhs_vals = jax.vmap(
                         lambda p: stamp_values(stamps, p)
                     )(params_batch.astype(jnp.float64))
+                    like = jnp.zeros((B, stamps.n), jnp.float64)
                     if rhs is None:
-                        b64 = jnp.zeros((B, stamps.n), jnp.float64
-                                        ).at[:, stamps.rhs_rows].add(rhs_vals)
+                        b64 = _coo_rhs_vec(stamps, rhs_vals, like)
                     else:
                         b64 = rhs.astype(jnp.float64)
                     for _ in range(2):
                         xn = plan.unpermute(x)  # natural order, [B, n]
-                        y = jnp.zeros_like(xn).at[:, stamps.g_rows].add(
-                            g_vals * xn[:, stamps.g_cols])
-                        r = b64 - y
-                        r_band = jnp.zeros((B, plan.n_pad), jnp.float64
-                                           ).at[:, :plan.n].set(r[:, order])
-                        dx = band_core(W, r_band.astype(jnp.float32))
+                        r = b64 - _coo_apply(stamps, g_vals, xn)
+                        dx = band_core(
+                            W, plan.rhs_to_band(r, jnp.float32))
                         x = x + dx.astype(jnp.float64)
                     return plan.unpermute(x)
 
@@ -672,7 +696,7 @@ class BatchedSolver:
                         lambda p: plan.assemble(self.stamps, p, dtype=dtype)
                     )(params_batch)
                     if rhs is not None:
-                        b = _to_band(rhs, W.dtype)
+                        b = plan.rhs_to_band(rhs, W.dtype)
                     return plan.unpermute(band_core(W, b))
 
             solve_rhs_t = solve_batch  # symmetric (resistive)
@@ -854,13 +878,13 @@ class BatchedSolver:
                 x = block_lu.schur_solve(G, b, nk)
                 if refine:
                     # f64 defect correction against the exact COO
-                    # operator; two extra Schur solves are O(n²) next to
+                    # operator; the extra Schur solves are O(n²) next to
                     # the factorization.
                     st = _transposed_stamps(stamps) if transpose else stamps
                     resolve = lambda r32: block_lu.schur_solve(  # noqa
                         G, r32, nk)
                     x = _coo_defect_refine(st, params_batch, rhs, x,
-                                           resolve)
+                                           resolve, iters=3)
                 return x
 
             solve_batch = schur_dense_core
@@ -868,29 +892,7 @@ class BatchedSolver:
                 pb, rhs, transpose=True)
 
         else:
-            stamps = self.stamps
-
-            def dense_core(params_batch, rhs=None, transpose=False):
-                G, b = jax.vmap(
-                    lambda p: assemble_dense(stamps, p, dtype=dtype)
-                )(params_batch)
-                if rhs is not None:
-                    b = rhs.astype(b.dtype)
-                if transpose:
-                    G = jnp.swapaxes(G, 1, 2)
-                if refine:
-                    # f32 factorization (TPU has no f64 LU) + f64 defect
-                    # correction against the exact COO operator.
-                    Gf = G.astype(jnp.float32)
-                    x = dense_solve.solve_dense(
-                        Gf, b.astype(jnp.float32)[..., None])[..., 0]
-                    st = _transposed_stamps(stamps) if transpose else stamps
-                    resolve = lambda r32: dense_solve.solve_dense(  # noqa
-                        Gf, r32[..., None])[..., 0]
-                    return _coo_defect_refine(st, params_batch, rhs, x,
-                                              resolve)
-                return dense_solve.solve_dense(G, b[..., None])[..., 0]
-
+            dense_core = make_dense_core(self.stamps, dtype, refine)
             solve_batch = dense_core
             solve_rhs_t = lambda pb, rhs: dense_core(  # noqa: E731
                 pb, rhs, transpose=True)
@@ -904,7 +906,7 @@ class BatchedSolver:
         through the Pallas kernels, which have no autodiff rules of their
         own.  See :func:`make_adjoint_solver`.
         """
-        self._solve_rhs_t = jax.jit(solve_rhs_t)
+        self._solve_rhs_t = solve_rhs_t  # diagnostics/tests; unjitted
         self._solve = jax.jit(
             make_adjoint_solver(self.stamps, solve_batch, solve_rhs_t))
 
@@ -1174,9 +1176,14 @@ def sensitivities(
     # Follow the Circuit's device-placement policy (small systems and f64
     # LU belong on the host CPU backend; TPU has no f64 LU) — both the
     # solver's method dispatch and the solve must run under the scope.
+    # f64 also needs x64 genuinely on: without it jnp would silently
+    # truncate to f32 while this API promises adjoint-accurate numbers.
     scope = (circuit._device_scope() if hasattr(circuit, "_device_scope")
              else contextlib.nullcontext())
-    with scope:
+    x64_scope = (jax.enable_x64(True)
+                 if jnp.dtype(dtype) == jnp.float64
+                 else contextlib.nullcontext())
+    with scope, x64_scope:
         solver = BatchedSolver(circuit, dtype=dtype)
         p = jnp.asarray(stamps.params, dtype=solver.dtype)[None, :]
         g = np.asarray(

@@ -241,6 +241,17 @@ class BandPlan:
         self.__dict__["_gf_cache"] = out
         return out
 
+    def rhs_to_band(self, rhs, dtype=None):
+        """Natural-order [..., m] RHS (m ≥ n; only the first-n banded
+        unknowns are used — the Schur paths pass the full MNA vector) ->
+        [..., n_pad] in band order, zero-padded.  The inverse of
+        :meth:`unpermute` on the solution side; shared by every caller
+        that feeds an explicit RHS (adjoint solves, refinement passes)."""
+        dt = dtype if dtype is not None else rhs.dtype
+        out = jnp.zeros(rhs.shape[:-1] + (self.n_pad,), dt)
+        sel = jnp.take(rhs, jnp.asarray(self.order), axis=-1).astype(dt)
+        return out.at[..., : self.n].set(sel)
+
     def unpermute(self, x, *, rows_axis: int = -1):
         """Map a solution on the reordered unknowns back to natural order.
 

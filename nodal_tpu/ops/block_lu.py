@@ -19,8 +19,9 @@ n=1000.
 Stability domain: diagonally dominant / SPD systems (all-resistor MNA,
 grounded Laplacians).  General MNA systems with voltage sources have
 zero diagonal entries in branch rows — those route to the pivoted XLA path
-(see ops.dense_solve / batch.BatchedSolver selection logic).  A refinement
-wrapper (f64 residual) is available for extra margin.
+(see ops.dense_solve / batch.BatchedSolver selection logic).  For extra
+margin the batch layer's refine tier defect-corrects against the exact
+f64 COO operator (nodal_tpu.batch._coo_defect_refine).
 """
 
 from __future__ import annotations
@@ -59,8 +60,8 @@ def _inv_block(D, newton_iters: int = 12):
     converges in ~half the iterations of the classical transpose start
     ``D^T/(‖D‖₁‖D‖∞)`` (measured: 11-12 vs 23 iterations to 1e-6 on grid
     Laplacian / random-network blocks).  Iteration count covers cond(D) up
-    to ~1e4 with f32-level residual; the outer refinement loop
-    (blocked_solve_refined) mops up the remainder.
+    to ~1e4 with f32-level residual; the refine tier's f64 defect
+    correction (nodal_tpu.batch._coo_defect_refine) mops up the remainder.
 
     ``newton_iters=0`` falls back to the exact expander (used on CPU where
     the tradeoff reverses).
@@ -199,23 +200,7 @@ def schur_solve(G, b, nk: int, block: int = _BLOCK,
     return jnp.concatenate([xk, xb], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "iters"))
-def blocked_solve_refined(A, b, block: int = _BLOCK, iters: int = 2):
-    """Blocked solve + f64-residual iterative refinement (f64-level accuracy
-    on well-conditioned systems at f32 block-LU speed)."""
-    A64 = A.astype(jnp.float64)
-    b64 = b.astype(jnp.float64)
-    with jax.default_matmul_precision("highest"):
-        Ap, bp, n = _pad_to_block(A.astype(jnp.float32), b.astype(jnp.float32), block)
-        X = blocked_factor(Ap, block)
-        x = blocked_solve_factored(X, bp, block)[..., :n].astype(jnp.float64)
-        for _ in range(iters):
-            r = b64 - jnp.einsum(
-                "...ij,...j->...i", A64, x, precision=jax.lax.Precision.HIGHEST
-            )
-            rp = jnp.pad(
-                r.astype(jnp.float32), [(0, 0)] * (r.ndim - 1) + [(0, (-n) % block)]
-            )
-            dx = blocked_solve_factored(X, rp, block)[..., :n]
-            x = x + dx.astype(jnp.float64)
-    return x
+# (The old blocked_solve_refined lived here; the block refine tier now
+# factors once and defect-corrects against the exact f64 COO operator —
+# nodal_tpu.batch._coo_defect_refine — which is both more accurate and
+# assembly-free.)

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nodal_tpu.models.stamps import StampTensors
 from nodal_tpu.ops.assemble import assemble_dense
-from nodal_tpu.ops import dense_solve
+
 from nodal_tpu.ops.grid import grid_solve
 
 
@@ -42,8 +42,11 @@ def make_sharded_batch_solver(
     them and the backend is TPU (elsewhere they run in interpret mode —
     correct but slow, so auto avoids them); ``"on"`` forces the shard_map
     +kernel path (tests/dryruns on the virtual CPU mesh); ``"off"``
-    restores the XLA-level solvers.  ``refine=True`` keeps the dense
-    f64-refined path (XLA-level).
+    restores the XLA-level solvers.  ``refine=True`` uses the shared
+    dense core's exact-COO f64 defect correction (batch.make_dense_core).
+
+    The returned solver is differentiable with ``jax.grad`` — the adjoint
+    solve runs over the same sharded kernels (see batch.make_adjoint_solver).
 
     Returns a function ``params_batch [B, n_components] -> solutions [B, n]``
     with B divisible by the mesh size.
@@ -98,18 +101,13 @@ def make_sharded_batch_solver(
         solve_rhs_t = solve_batch  # symmetric
 
     elif plan is not None and plan.nb >= 2:
-        import numpy as _np
-
-        order = _np.asarray(plan.order)
 
         def solve_batch(pb, rhs=None):
             W, b = jax.vmap(
                 lambda p: plan.assemble(stamps, p, dtype=dtype)
             )(pb)
             if rhs is not None:
-                b = jnp.zeros((rhs.shape[0], plan.n_pad), W.dtype
-                              ).at[:, :plan.n].set(
-                                  rhs[:, order].astype(W.dtype))
+                b = plan.rhs_to_band(rhs, W.dtype)
             return plan.unpermute(band_thomas_solve(W, b))
 
         solve_rhs_t = solve_batch  # symmetric
@@ -127,29 +125,11 @@ def make_sharded_batch_solver(
         solve_rhs_t = solve_batch  # symmetric
 
     else:
+        from nodal_tpu.batch import make_dense_core
 
-        def solve_batch(pb, rhs=None, transpose=False):
-            G, b = jax.vmap(
-                lambda p: assemble_dense(stamps, p, dtype=dtype)
-            )(pb)
-            if rhs is not None:
-                b = rhs.astype(b.dtype)
-            if transpose:
-                G = jnp.swapaxes(G, 1, 2)
-            if refine:
-                from nodal_tpu.batch import _coo_defect_refine
-                from nodal_tpu.batch import _transposed_stamps
-
-                Gf = G.astype(jnp.float32)
-                x = dense_solve.solve_dense(
-                    Gf, b.astype(jnp.float32)[..., None])[..., 0]
-                st = _transposed_stamps(stamps) if transpose else stamps
-                resolve = lambda r32: dense_solve.solve_dense(  # noqa
-                    Gf, r32[..., None])[..., 0]
-                return _coo_defect_refine(st, pb, rhs, x, resolve)
-            return dense_solve.solve_dense(G, b[..., None])[..., 0]
-
-        solve_rhs_t = lambda pb, rhs: solve_batch(  # noqa: E731
+        dense_core = make_dense_core(stamps, dtype, refine)
+        solve_batch = dense_core
+        solve_rhs_t = lambda pb, rhs: dense_core(  # noqa: E731
             pb, rhs, transpose=True)
 
     from nodal_tpu.batch import make_adjoint_solver
@@ -198,18 +178,12 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
         else:
             return None
 
-        import numpy as _np
-
-        order = _np.asarray(plan.order)
-
         def local(pb, rhs=None):
             W, b = jax.vmap(
                 lambda p: plan.assemble(stamps, p, dtype=dtype)
             )(pb)
             if rhs is not None:
-                b = jnp.zeros((rhs.shape[0], plan.n_pad), W.dtype
-                              ).at[:, :plan.n].set(
-                                  rhs[:, order].astype(W.dtype))
+                b = plan.rhs_to_band(rhs, W.dtype)
             return plan.unpermute(core(W, b))
 
         return local
