@@ -277,3 +277,48 @@ def test_batched_band_f64_on_tpu():
     xs = solver(batch)
     res = np.asarray(solver.residuals(batch, np.asarray(xs)))
     assert np.max(res) < 1e-10  # refined: f64-level accuracy
+
+
+def test_adjoint_gradient_through_band_kernel_mosaic():
+    """jax.grad through the Mosaic-compiled band mega-kernel: the adjoint
+    solve re-enters the same kernel with the cotangent as RHS; the
+    gradient must match the host-f64 dense-autodiff oracle at the f32
+    floor."""
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.circuit import _cpu_device_or_none
+    from nodal_tpu.ops.assemble import assemble_dense
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    rows = list(grid_rows(9, 40, (0, 0), (8, 39)))
+    rows.append(["src", "A", "1", "n1_1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    solver = BatchedSolver(circuit, dtype=jnp.float32)
+    assert solver.method == "band"
+
+    rng = np.random.default_rng(2)
+    p = jnp.asarray(np.tile(circuit.stamps.params, (2, 1)).astype(
+        np.float32) * rng.uniform(0.9, 1.1, (2, len(circuit.stamps.params))
+                                  ).astype(np.float32))
+    w = _f32(rng, 2, circuit.stamps.n)
+    g = np.asarray(jax.grad(lambda q: jnp.sum(w * solver._solve(q)))(p))
+    assert np.all(np.isfinite(g))
+
+    cpu = _cpu_device_or_none()
+    with jax.default_device(cpu), jax.enable_x64(True):
+
+        def oracle(pi, wi):
+            def f(q):
+                G, b = assemble_dense(circuit.stamps, q,
+                                      dtype=jnp.float64)
+                return jnp.sum(wi * jnp.linalg.solve(G, b))
+
+            return jax.grad(f)(pi)
+
+        go = np.stack([
+            np.asarray(oracle(jnp.asarray(np.asarray(p[i], np.float64)),
+                              jnp.asarray(np.asarray(w[i], np.float64))))
+            for i in range(2)
+        ])
+    rel = np.max(np.abs(g - go)) / np.max(np.abs(go))
+    assert rel < 5e-4, rel
