@@ -48,6 +48,54 @@ def equivalent_resistance(
     return _potential_difference(solution, probed, a, b)
 
 
+def resistance_sensitivities(netlist: Netlist, a: str, b: str):
+    """d R_eq(a, b) / d R_k for EVERY resistor, via the adjoint method.
+
+    The classic tolerance-design question — "which resistor's variation
+    moves the port resistance most?" — answered with one solve plus one
+    adjoint solve total (finite differences would cost one solve per
+    resistor; the reference cannot do this at all).  Returns
+    ``{resistor name: dR_eq/dR}`` in Ω/Ω.  Same validation surface as
+    :func:`equivalent_resistance`.
+    """
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    if not check_resistive(netlist):
+        raise ValueError("Network is not resistive")
+    for node in (a, b):
+        if node not in netlist.nodenum and node != netlist.ground:
+            raise KeyError(f"Node `{node}` not found in netlist")
+
+    from nodal_tpu.batch import BatchedSolver
+
+    probe = netlist.fresh_name("a1")
+    probed = netlist.with_component([probe, "A", "1", a, b])
+    circuit = Circuit(probed)
+
+    def row(node):
+        return None if node == probed.ground else probed.nodenum[node]
+
+    ia, ib = row(a), row(b)
+    with circuit._device_scope(), jax.enable_x64(True):
+        solver = BatchedSolver(circuit, dtype=jnp.float64)
+        p = jnp.asarray(circuit.stamps.params)[None, :]
+
+        def r_eq(q):
+            x = solver._solve(q)[0]
+            va = x[ia] if ia is not None else 0.0
+            vb = x[ib] if ib is not None else 0.0
+            return va - vb  # 1 A probe ⇒ potential difference = R_eq
+
+        g = np.asarray(jax.grad(r_eq)(p)[0], dtype=np.float64)
+    slot = circuit.stamps.param_slot
+    return {name: float(g[slot[name]])
+            for name, comp in probed.components.items()
+            if comp.type == "R"}
+
+
 def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
     """Equivalent resistance for many probe pairs of one netlist at once.
 

@@ -114,3 +114,46 @@ class TestEquivalentResistanceMany:
         ])
         with pytest.raises(UnconnectedCircuitError):
             equivalent_resistance_many(nl, [("a", "b")])
+
+
+def test_resistance_sensitivities_analytic_and_fd():
+    """dR_eq/dR_k by the adjoint method: exact on series/parallel
+    closed forms, FD-checked on a bridge network."""
+    from nodal_tpu.equiv import resistance_sensitivities
+
+    nl = Netlist.from_rows(
+        [["r1", "R", "2", "1", "2"], ["r2", "R", "3", "2", "g"]])
+    s = resistance_sensitivities(nl, "1", "g")
+    assert abs(s["r1"] - 1.0) < 1e-12 and abs(s["r2"] - 1.0) < 1e-12
+
+    nl = Netlist.from_rows(
+        [["r1", "R", "2", "1", "g"], ["r2", "R", "3", "1", "g"]])
+    s = resistance_sensitivities(nl, "1", "g")
+    # R = r1 r2/(r1+r2): dR/dr1 = (r2/(r1+r2))², dR/dr2 = (r1/(r1+r2))²
+    assert abs(s["r1"] - (3 / 5) ** 2) < 1e-12
+    assert abs(s["r2"] - (2 / 5) ** 2) < 1e-12
+
+    rows = [["r1", "R", "1", "1", "2"], ["r2", "R", "2", "1", "3"],
+            ["r3", "R", "3", "2", "3"], ["r4", "R", "4", "2", "g"],
+            ["r5", "R", "5", "3", "g"]]
+    nl = Netlist.from_rows(rows)
+    s = resistance_sensitivities(nl, "1", "g")
+    R0 = equivalent_resistance(nl, "1", "g")
+    for name in ("r1", "r3", "r5"):
+        eps = 1e-7
+        rows2 = [[n, t, str(float(v) + (eps if n == name else 0.0)), *rest]
+                 for n, t, v, *rest in rows]
+        R1 = equivalent_resistance(Netlist.from_rows(rows2), "1", "g")
+        assert abs(s[name] - (R1 - R0) / eps) < 1e-5, name
+
+
+def test_resistance_sensitivities_validation():
+    from nodal_tpu.equiv import resistance_sensitivities
+
+    nl = Netlist.from_rows(
+        [["r1", "R", "2", "1", "g"], ["e1", "E", "1", "1", "g"]])
+    with pytest.raises(ValueError):
+        resistance_sensitivities(nl, "1", "g")
+    nl = Netlist.from_rows([["r1", "R", "2", "1", "g"]])
+    with pytest.raises(KeyError):
+        resistance_sensitivities(nl, "1", "nope")
