@@ -150,3 +150,34 @@ def test_band_single_solve_matches_reference_semantics(seed):
     x = np.array([sol.result[i] for i in range(circuit.stamps.n)])
     r = np.asarray(b) - np.asarray(G) @ x
     assert np.max(np.abs(r)) < 1e-9
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_adjoint_gradients_on_random_networks(seed):
+    """Property: on random connected resistive networks (plus a random
+    current source), jax.grad through whichever solver method auto-selects
+    must match autodiff through plain dense assembly+solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.ops.assemble import assemble_dense
+
+    rng = np.random.default_rng(300 + seed)
+    rows, names = _random_connected_resistive(rng, 9, extra_edges=6)
+    a, b = rng.choice(names, 2, replace=False)
+    rows.append(["src", "A", f"{rng.uniform(0.5, 2):.6f}", a, b])
+    circuit = Circuit(Netlist.from_rows(rows))
+    solver = BatchedSolver(circuit, dtype=jnp.float64)
+
+    p = jnp.asarray(circuit.stamps.params)[None, :]
+    w = jnp.asarray(rng.standard_normal((1, circuit.stamps.n)))
+    g = jax.grad(lambda q: jnp.sum(w * solver._solve(q)))(p)
+
+    def oracle(q):
+        G, rhs = assemble_dense(circuit.stamps, q[0], dtype=jnp.float64)
+        return jnp.sum(w[0] * jnp.linalg.solve(G, rhs))
+
+    go = jax.grad(oracle)(p)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(go),
+                               rtol=1e-8, atol=1e-12)
