@@ -1,0 +1,192 @@
+"""Pallas scalar-band LDLᵀ kernel: batch in lanes, whole solve in VMEM.
+
+Counterpart of ops/scalar_band.scalar_band_solve_scan for TPU.  The block
+band tier (ops/pallas_band.py) is MXU-shaped — O(n·kb²) with kb ≥ 128 —
+which overshoots narrow bands by orders of magnitude (w=26 mesh: ~640
+MFLOP/sample vs the scalar n·w² ≈ 1.4 MFLOP).  At that flop count the MXU
+is the wrong unit entirely; this kernel runs the *scalar* banded
+factorization on the VPU with **128 independent systems in the lane
+dimension**, so every vector op advances 128 solves at once:
+
+* layout: augmented band rows ``A[i] = [d, u_1..u_w, b, 0-pad]`` as a
+  ``[n_tot, W1a, 128]`` VMEM block — row index in the (dynamic-friendly)
+  leading dimension, band slots in sublanes, batch in lanes;
+* elimination step i: one reciprocal, w fused roll-mask-fma row updates
+  (``pltpu.roll`` shifts the pivot row's slots so u_{r+k} lines up with
+  row i+r's slot k — the Hankel addressing of band storage);
+* the RHS rides in an extra slot (it never shifts: masked separately), so
+  forward elimination of b costs nothing extra;
+* backward substitution accumulates Σ m_r·x_{i+r} from a lane-replicated
+  x buffer, leading-dim indexed.
+
+Stability domain: SPD after RCM — exactly what ScalarBandPlan accepts
+(purely resistive systems; models/stamps.py makes those symmetric by
+construction).  No Newton-Schulz, no matmuls, no bf16 anywhere: the f32
+factorization is elementwise-exact in the same sense as the scan version
+(cross-validated in tests/test_scalar_band.py).
+
+The reference has no banded solver at all (dense LAPACK / SuperLU at
+reference nodal.py:325-327).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nodal_tpu.ops.pallas_block_lu import _interpret, _x32_scope
+
+_LANES = 128
+
+#: VMEM budget for one kernel instance (band copy + x buffer + transients);
+#: keep clear of the ~100 MB scoped ceiling with margin for the pipeline.
+_VMEM_BUDGET = 72 * 1024 * 1024
+
+
+def _w1a(W1: int, n_rhs: int = 1) -> int:
+    return -(-(W1 + n_rhs) // 8) * 8
+
+
+def sband_fits_vmem(n_pad: int, W1: int) -> bool:
+    """Whether the VMEM-resident scalar-band kernel supports (n_pad, W1)."""
+    W1a = _w1a(W1)
+    n_tot = n_pad + W1a
+    need = n_tot * (W1a + 8) * _LANES * 4
+    return need <= _VMEM_BUDGET
+
+
+def _kernel_body(a_ref, out_ref, A, X, sem, *, n_pad: int, W1: int,
+                 W1a: int):
+    """One batch tile: factorize + solve 128 systems in lockstep."""
+    w = W1 - 1
+    n_tot = n_pad + W1a
+
+    cp = pltpu.make_async_copy(a_ref.at[pl.program_id(0)], A, sem)
+    cp.start()
+    cp.wait()
+
+    # Masks from iota comparisons: pallas kernels cannot capture
+    # materialized constants, and these fold to vector immediates anyway.
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (W1a, 1), 0)
+    e_b = (iota_s == W1).astype(jnp.float32)         # RHS slot selector
+    keep = ((iota_s == 0) | (iota_s >= W1)).astype(jnp.float32)
+    band_mask = [
+        (iota_s <= (w - r)).astype(jnp.float32) for r in range(w + 1)
+    ]
+    e_r = [(iota_s == r).astype(jnp.float32) for r in range(w + 1)]
+
+    def fstep(i, carry):
+        row = A[i]                                   # [W1a, 128]
+        inv = 1.0 / row[0:1, :]
+        m = row * inv
+        b_i = jnp.sum(row * e_b, axis=0, keepdims=True)
+        A[i] = keep * row + (1.0 - keep) * m
+        for r in range(1, w + 1):
+            # q[k] = row[k+r] (wraparound masked): pltpu.roll wants a
+            # non-negative shift, and roll by W1a-r ≡ roll by -r.
+            q = pltpu.roll(row, W1a - r, 0) * band_mask[r] + e_b * b_i
+            m_r = jnp.sum(m * e_r[r], axis=0, keepdims=True)
+            A[i + r] = A[i + r] - m_r * q
+        return carry
+
+    jax.lax.fori_loop(0, n_pad, fstep, 0, unroll=False)
+
+    # x buffer: lane-replicated rows so every access is leading-dim indexed.
+    X[...] = jnp.zeros((n_tot, 8, _LANES), jnp.float32)
+
+    def bstep(j, carry):
+        i = n_pad - 1 - j
+        row = A[i]
+        d = row[0:1, :]
+        b_p = jnp.sum(row * e_b, axis=0, keepdims=True)
+        acc = jnp.zeros((1, _LANES), jnp.float32)
+        for r in range(1, w + 1):
+            m_r = jnp.sum(row * e_r[r], axis=0, keepdims=True)
+            acc = acc + m_r * X[i + r][0:1, :]
+        xi = b_p / d - acc
+        X[i] = jnp.broadcast_to(xi, (8, _LANES))
+        return carry
+
+    jax.lax.fori_loop(0, n_pad, bstep, 0, unroll=False)
+
+    sub0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1) == 0
+    ).astype(jnp.float32)
+    out_ref[...] = jnp.sum(X[0:n_pad] * sub0, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid",))
+def pallas_scalar_band_solve(U, b, *, n_valid: int | None = None):
+    """Batched scalar-band solve: ``U`` [B, n_pad, W1] upper band storage
+    (ScalarBandPlan.assemble), ``b`` [B, n_pad] -> x [B, n_pad] (f32).
+
+    ``n_valid`` trims the plan's padded tail from the result.
+    """
+    B, n_pad, W1 = U.shape
+    if n_pad % 8:
+        raise ValueError(f"n_pad must be a sublane multiple, got {n_pad}")
+    if not sband_fits_vmem(n_pad, W1):
+        raise ValueError(
+            f"(n_pad={n_pad}, W1={W1}) exceeds the scalar-band VMEM "
+            "budget; check sband_fits_vmem first"
+        )
+    W1a = _w1a(W1)
+    n_tot = n_pad + W1a
+    U = U.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+
+    # Augmented rows [d, u, b, 0-pad]; unit-diagonal scratch tail rows.
+    A = jnp.concatenate(
+        [
+            U,
+            b[:, :, None],
+            jnp.zeros((B, n_pad, W1a - W1 - 1), jnp.float32),
+        ],
+        axis=2,
+    )
+    unit = jnp.zeros((W1a,), jnp.float32).at[0].set(1.0)
+    A = jnp.concatenate(
+        [A, jnp.broadcast_to(unit, (B, W1a, W1a))], axis=1
+    )
+    # Batch pad to a lane multiple with unit systems (d=1, b=0 -> x=0).
+    Bp = -(-B // _LANES) * _LANES
+    if Bp != B:
+        A = jnp.concatenate(
+            [A, jnp.broadcast_to(unit, (Bp - B, n_tot, W1a))], axis=0
+        )
+    tiles = Bp // _LANES
+    # [tiles, n_tot, W1a, 128]: one contiguous DMA per kernel instance.
+    At = jnp.transpose(
+        A.reshape(tiles, _LANES, n_tot, W1a), (0, 2, 3, 1)
+    )
+
+    kernel = functools.partial(
+        _kernel_body, n_pad=n_pad, W1=W1, W1a=W1a
+    )
+    with _x32_scope():
+        out = pl.pallas_call(
+            kernel,
+            grid=(tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (n_pad, _LANES), lambda t: (0, t)
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_pad, Bp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_tot, W1a, _LANES), jnp.float32),
+                pltpu.VMEM((n_tot, 8, _LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=_interpret(),
+        )(At)
+    x = jnp.transpose(out)[:B]
+    return x if n_valid is None else x[:, :n_valid]
