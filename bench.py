@@ -383,6 +383,13 @@ def main(argv=None):
          gen_sust) = bench_batched_solves(
             _mesh_circuit(args.nodes), args.general_batch, args.reps
         )
+        # Refined tier on the same mesh: the ≤1e-6 accuracy contract at
+        # kernel speed (f32 solves + exact-COO f64 defect correction).
+        (genr_sps, genr_dt, genr_err, genr_audit, _genr_method,
+         genr_sust) = bench_batched_solves(
+            _mesh_circuit(args.nodes), args.general_batch, args.reps,
+            refine=True,
+        )
         (br_sps, br_dt, br_err, br_audit, br_method,
          br_sust) = bench_batched_solves(
             _branch_circuit(args.nodes), args.general_batch, args.reps
@@ -396,6 +403,11 @@ def main(argv=None):
                 "general_max_residual": gen_audit,
                 "general_sustained_solves_per_sec": round(gen_sust, 2),
                 "general_vs_baseline": round(gen_sps / BASELINE_SOLVES_PER_SEC, 2),
+                "general_refined_solves_per_sec": round(genr_sps, 2),
+                "general_refined_sustained_solves_per_sec": round(
+                    genr_sust, 2),
+                "general_refined_rel_err_vs_f64": genr_err,
+                "general_refined_max_residual": genr_audit,
                 "branch_solves_per_sec_1000_nodes": round(br_sps, 2),
                 "branch_method": br_method,
                 "branch_rel_err_vs_f64": br_err,

@@ -495,6 +495,10 @@ class BatchedSolver:
     * ``tridiag`` — chain/ladder topologies (bandwidth ≤ 1, purely
       resistive): band assembly + parallel cyclic reduction, O(n log n)
       work, no dense matrix ever built.
+    * ``sband``  — narrow-band resistive circuits (half-bandwidth ≤ 96
+      after RCM — e.g. 2-D meshes): scalar banded LDLᵀ with the batch in
+      the TPU lane dimension (ops.scalar_band / ops.pallas_scalar_band),
+      O(n·w²) VPU work — orders of magnitude below any block tier.
     * ``band``   — locally-connected resistive circuits (meshes, buses,
       3-D lattices) whose half-bandwidth after a reverse Cuthill-McKee
       reordering fits a block size kb ∈ {128, 256, 384}:
@@ -534,18 +538,28 @@ class BatchedSolver:
         self.dtype = dtype
         self.refine = refine
 
-        if method not in ("auto", "tridiag", "band", "block", "schur",
-                          "dense"):
+        if method not in ("auto", "tridiag", "sband", "band", "block",
+                          "schur", "dense"):
             raise ValueError(
                 f"unknown method {method!r}; expected one of "
-                "'auto', 'tridiag', 'band', 'block', 'schur', 'dense'"
+                "'auto', 'tridiag', 'sband', 'band', 'block', 'schur', "
+                "'dense'"
             )
         from nodal_tpu.ops.band import band_plan
+        from nodal_tpu.ops.scalar_band import MAX_W, sband_plan
+        from nodal_tpu.ops.pallas_scalar_band import sband_fits_vmem
 
         resistive = self.stamps.n == self.stamps.n_kcl  # no branch equations
         if method == "auto":
             if resistive and bandwidth(self.stamps) <= 1:
                 method = "tridiag"
+            elif resistive and (splan := sband_plan(self.stamps)) is not None \
+                    and sband_fits_vmem(splan.n_pad, splan.W1):
+                # Narrow band after RCM: the scalar LDLᵀ tier does n·w²
+                # VPU flops/sample where the block tiers do n·kb² (kb ≥
+                # 128) on the MXU — measured 25.3k vs 14.6k solves/s per
+                # call on the 25×40 bench mesh (w=26) at B=1024.
+                method = "sband"
             elif resistive and (plan := band_plan(self.stamps)) is not None \
                     and plan.nb >= 2 and (plan.kb == 128 or plan.n > 1024):
                 # Bandable after RCM: O(n·kb²) block-Thomas beats the dense
@@ -563,10 +577,17 @@ class BatchedSolver:
                 method = "schur"
             else:
                 method = "dense"
-        elif method in ("tridiag", "band", "block") and not resistive:
+        elif method in ("tridiag", "sband", "band", "block") \
+                and not resistive:
             raise ValueError(
                 f"method={method!r} requires a purely resistive circuit "
                 "(branch equations put zeros on the diagonal)"
+            )
+        elif method == "sband" and sband_plan(self.stamps) is None:
+            raise ValueError(
+                "method='sband' requires a narrow symmetric band after "
+                f"RCM reordering (half-bandwidth <= {MAX_W}); this "
+                "circuit does not qualify — use 'band' or 'block'"
             )
         elif method == "band" and band_plan(self.stamps) is None:
             raise ValueError(
@@ -701,6 +722,69 @@ class BatchedSolver:
 
             solve_rhs_t = solve_batch  # symmetric (resistive)
 
+        elif method == "sband":
+            splan = sband_plan(self.stamps)
+            from nodal_tpu.ops.pallas_scalar_band import (
+                pallas_scalar_band_solve)
+            from nodal_tpu.ops.scalar_band import scalar_band_solve_scan
+
+            on_tpu = jax.default_backend() == "tpu"
+
+            def sband_core(U, b):
+                # f32 tier: the VMEM batch-in-lanes kernel; the lax.scan
+                # implementation everywhere else (CPU, f64 inputs).
+                if (on_tpu and U.dtype == jnp.float32
+                        and sband_fits_vmem(splan.n_pad, splan.W1)):
+                    return pallas_scalar_band_solve(U, b)
+                return scalar_band_solve_scan(U, b)
+
+            # Same policy as the band tier: f64-on-TPU routes through f32
+            # solves + exact-COO f64 defect correction.
+            refined = refine or (on_tpu and jnp.dtype(dtype) == jnp.float64)
+
+            if refined:
+                from nodal_tpu.models.stamps import stamp_values
+
+                stamps = self.stamps
+
+                def solve_batch(params_batch, rhs=None):
+                    B = params_batch.shape[0]
+                    U, b = jax.vmap(
+                        lambda p: splan.assemble(stamps, p,
+                                                 dtype=jnp.float32)
+                    )(params_batch.astype(jnp.float32))
+                    if rhs is not None:
+                        b = splan.rhs_to_band(rhs, jnp.float32)
+                    x = sband_core(U, b).astype(jnp.float64)
+                    g_vals, rhs_vals = jax.vmap(
+                        lambda p: stamp_values(stamps, p)
+                    )(params_batch.astype(jnp.float64))
+                    like = jnp.zeros((B, stamps.n), jnp.float64)
+                    if rhs is None:
+                        b64 = _coo_rhs_vec(stamps, rhs_vals, like)
+                    else:
+                        b64 = rhs.astype(jnp.float64)
+                    for _ in range(2):
+                        xn = splan.unpermute(x)
+                        r = b64 - _coo_apply(stamps, g_vals, xn)
+                        dx = sband_core(
+                            U, splan.rhs_to_band(r, jnp.float32))
+                        x = x + dx.astype(jnp.float64)
+                    return splan.unpermute(x)
+
+            else:
+
+                def solve_batch(params_batch, rhs=None):
+                    U, b = jax.vmap(
+                        lambda p: splan.assemble(self.stamps, p,
+                                                 dtype=dtype)
+                    )(params_batch)
+                    if rhs is not None:
+                        b = splan.rhs_to_band(rhs, U.dtype)
+                    return splan.unpermute(sband_core(U, b))
+
+            solve_rhs_t = solve_batch  # symmetric (resistive)
+
         elif method == "block":
 
             def single(params):
@@ -789,6 +873,24 @@ class BatchedSolver:
                 and jnp.dtype(dtype) == jnp.float32
                 and kbe < _K
             )
+            from nodal_tpu.ops.pallas_scalar_band import (
+                pallas_scalar_band_solve_multi)
+            from nodal_tpu.ops.scalar_band import node_sband_plan
+
+            nsplan = node_sband_plan(self.stamps)
+            if on_tpu_f32 and nsplan is not None and sband_fits_vmem(
+                    nsplan.n_pad, nsplan.W1, kbe + 1):
+                # Narrow-band node block: the scalar LDLᵀ kernel solves
+                # A⁻¹[B | bk] with every RHS column riding an augmented
+                # band slot — same plan interface as the block band tier,
+                # ~n·w² work instead of n·kb².
+                assemble = _schur_band_assembler(self.stamps, dtype, nsplan)
+                solve_batch, solve_rhs_t = _make_schur_band_solver(
+                    assemble, pallas_scalar_band_solve_multi, nsplan,
+                    nk, kbe)
+                self._finalize(solve_batch, solve_rhs_t)
+                return
+
             nplan = node_band_plan(self.stamps)
             if on_tpu_f32 and nplan is not None and nplan.nb >= 2 \
                     and (nplan.kb == 128 or nplan.n > 1024) \

@@ -25,7 +25,7 @@ from nodal_tpu.ops.grid import grid_solve
 
 def make_sharded_batch_solver(
     stamps: StampTensors, mesh: Mesh, *, dtype=jnp.float32,
-    refine: bool = False, pallas: str = "auto",
+    refine: bool = False, pallas: str = "auto", method: str = "auto",
 ):
     """Compile a batch solver whose batch axis is sharded over every mesh
     axis (dp × sp treated as one data-parallel pool).
@@ -70,7 +70,8 @@ def make_sharded_batch_solver(
 
     local_pallas = None
     if use_pallas and f32 and not refine:
-        local_pallas = _pallas_local_batch_solver(stamps, plan, dtype)
+        local_pallas = _pallas_local_batch_solver(stamps, plan, dtype,
+                                                  method=method)
 
     if local_pallas is not None:
         # Per-device Pallas kernel over the local batch shard.  shard_map
@@ -140,10 +141,12 @@ def make_sharded_batch_solver(
     )
 
 
-def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
+def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
+                               method: str = "auto"):
     """Per-device (shard-local) batch solve using the single-chip Pallas
     tiers, mirroring BatchedSolver's structure dispatch.  Returns None when
-    no Pallas tier covers this circuit (caller falls back to XLA-level)."""
+    no Pallas tier covers this circuit (caller falls back to XLA-level).
+    ``method`` pins one tier (auto picks in BatchedSolver's order)."""
     from nodal_tpu.ops.assemble import assemble_tridiag, bandwidth
     from nodal_tpu.ops.pallas_band import (band_fits_stream, band_fits_vmem,
                                            pallas_band_solve,
@@ -156,7 +159,8 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
     if not resistive:
         return None
 
-    if bandwidth(stamps) <= 1 and pcr_fits_vmem(stamps.n):
+    if method in ("auto", "tridiag") and bandwidth(stamps) <= 1 \
+            and pcr_fits_vmem(stamps.n):
 
         def local(pb, rhs=None):
             dl, d, du, b = jax.vmap(
@@ -168,9 +172,29 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
 
         return local
 
-    if plan is not None and plan.nb >= 2 and (
-        plan.kb == 128 or plan.n > 1024
-    ):
+    from nodal_tpu.ops.pallas_scalar_band import (pallas_scalar_band_solve,
+                                                  sband_fits_vmem)
+    from nodal_tpu.ops.scalar_band import sband_plan
+
+    splan = sband_plan(stamps)
+    if method in ("auto", "sband") and splan is not None \
+            and sband_fits_vmem(splan.n_pad, splan.W1) \
+            and bandwidth(stamps) > 1:
+        # Narrow band: the scalar LDLᵀ batch-in-lanes kernel (same
+        # structure preference as BatchedSolver).
+
+        def local(pb, rhs=None):
+            U, b = jax.vmap(
+                lambda p: splan.assemble(stamps, p, dtype=dtype)
+            )(pb)
+            if rhs is not None:
+                b = splan.rhs_to_band(rhs, U.dtype)
+            return splan.unpermute(pallas_scalar_band_solve(U, b))
+
+        return local
+
+    if method in ("auto", "band") and plan is not None \
+            and plan.nb >= 2 and (plan.kb == 128 or plan.n > 1024):
         if band_fits_vmem(plan.n_pad, plan.kb):
             core = pallas_band_solve
         elif band_fits_stream(plan.n_pad, plan.kb):
@@ -188,7 +212,7 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype):
 
         return local
 
-    if lu_fits_vmem(stamps.n):
+    if method in ("auto", "block") and lu_fits_vmem(stamps.n):
         n_pad = _pad(stamps.n)
 
         def local(pb, rhs=None):

@@ -76,8 +76,10 @@ DENSE_ROWS = [
     [
         (ladder_rows(32), dict(dtype=jnp.float64), "tridiag"),
         (ladder_rows(32), dict(refine=True), "tridiag"),
-        (MESH, dict(dtype=jnp.float64), "band"),
-        (MESH, dict(refine=True), "band"),
+        (MESH, dict(dtype=jnp.float64), "sband"),
+        (MESH, dict(refine=True), "sband"),
+        (MESH, dict(dtype=jnp.float64, method="band"), "band"),
+        (MESH, dict(refine=True, method="band"), "band"),
         (SMALL_MESH, dict(dtype=jnp.float64, method="block"), "block"),
         (SMALL_MESH, dict(refine=True, method="block"), "block"),
         (SCHUR_ROWS, dict(dtype=jnp.float64), "schur"),
@@ -94,7 +96,7 @@ def test_grad_matches_dense_autodiff(rows, kw, expect_method):
 def test_grad_f32_fast_tier_within_f32_floor():
     # The f32 fast tier's gradients inherit its ~1e-6 solution accuracy.
     method = _check_grad(MESH, 5e-4)
-    assert method == "band"
+    assert method == "sband"
 
 
 def test_schur_band_transpose_grad():

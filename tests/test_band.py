@@ -251,10 +251,13 @@ class TestStreamingKernels:
 
 
 class TestBatchedSolverBand:
-    def test_auto_selects_band_for_mesh(self):
+    def test_auto_selects_sband_for_mesh(self):
+        # Narrow bands now route to the scalar LDL^T tier; the block
+        # band tier stays reachable explicitly.
         c = _mesh_circuit(9, 40, extra=[["src", "A", "1", "n1_1", "g"]])
         solver = BatchedSolver(c)
-        assert solver.method == "band"
+        assert solver.method == "sband"
+        assert BatchedSolver(c, method="band").method == "band"
 
     def test_band_matches_dense_reference(self):
         c = _mesh_circuit(9, 40, extra=[["src", "A", "1", "n1_1", "g"]])

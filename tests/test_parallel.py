@@ -249,7 +249,7 @@ def test_sharded_pallas_band_kernel_matches_single(monkeypatch):
     assert plan is not None and plan.nb >= 2  # precondition: band tier
 
     solver = make_sharded_batch_solver(
-        circuit.stamps, mesh, dtype=jnp.float32, pallas="on"
+        circuit.stamps, mesh, dtype=jnp.float32, pallas="on", method="band"
     )
     rng = np.random.default_rng(7)
     base = circuit.stamps.params
@@ -277,11 +277,44 @@ def test_sharded_pallas_band_kernel_matches_single(monkeypatch):
     # adaptive path and ignore the monkeypatch.
     jax.clear_caches()
     solver_fixed = make_sharded_batch_solver(
-        circuit.stamps, mesh, dtype=jnp.float32, pallas="on"
+        circuit.stamps, mesh, dtype=jnp.float32, pallas="on", method="band"
     )
     got_fixed = np.asarray(solver_fixed(batch))
     expected_fixed = np.asarray(plan.unpermute(pallas_band_solve(W, b)))
     np.testing.assert_allclose(got_fixed, expected_fixed, rtol=0, atol=0)
+
+
+def test_sharded_pallas_sband_kernel_matches_single():
+    """Narrow-band mesh through the shard_map-wrapped scalar LDL^T kernel.
+    The scalar kernel has no adaptive stage, so sharded output is
+    bit-exact against the single-device kernel regardless of how samples
+    are grouped into shards."""
+    from nodal_tpu.utils.gridgen import grid_rows
+    from nodal_tpu.ops.scalar_band import sband_plan
+    from nodal_tpu.ops.pallas_scalar_band import pallas_scalar_band_solve
+
+    mesh = make_mesh(8)
+    rows = list(grid_rows(6, 30, (0, 0), (5, 29)))
+    rows.append(["src", "A", "1", "n1_1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    splan = sband_plan(circuit.stamps)
+    assert splan is not None  # precondition: scalar band tier
+
+    solver = make_sharded_batch_solver(
+        circuit.stamps, mesh, dtype=jnp.float32, pallas="on"
+    )
+    rng = np.random.default_rng(9)
+    base = circuit.stamps.params
+    B = 16
+    batch = (base * (1.0 + 0.05 * rng.standard_normal((B, len(base))))
+             ).astype(np.float32)
+    got = np.asarray(solver(batch))
+
+    U, b = jax.vmap(
+        lambda p: splan.assemble(circuit.stamps, p, dtype=jnp.float32)
+    )(jnp.asarray(batch))
+    expected = np.asarray(splan.unpermute(pallas_scalar_band_solve(U, b)))
+    np.testing.assert_allclose(got, expected, rtol=0, atol=0)
 
 
 def test_sharded_pallas_tridiag_kernel_matches_single():

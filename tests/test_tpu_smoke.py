@@ -9,9 +9,11 @@ module compiles and runs the hot kernels on real hardware:
     NODAL_TPU_TEST_PLATFORM=tpu python -m pytest tests/test_tpu_smoke.py -m tpu
 
 (in environments where the TPU is reached through a differently-named PJRT
-plugin, pass that platform name instead — e.g. NODAL_TPU_TEST_PLATFORM=axon
-for this build's remote-TPU tunnel; the tests key on
-``jax.default_backend() == "tpu"``, which such plugins still report).
+plugin, pass that platform name instead — e.g.
+NODAL_TPU_TEST_PLATFORM=axon,cpu for this build's remote-TPU tunnel; the
+tests key on ``jax.default_backend() == "tpu"``, which such plugins still
+report.  Keep ``,cpu`` in the list: the f64 oracles run on the host CPU
+backend, and TPU-f64 LU does not exist).
 
 Interpret-mode passes do NOT validate Mosaic lowering; a recorded run of
 this tier is the round's evidence that the kernels still compile.
@@ -153,7 +155,7 @@ def test_pallas_band_mosaic_end_to_end():
     rows.append(["src", "A", "1", "n1_1", "g"])
     circuit = Circuit(Netlist.from_rows(rows))
     solver = BatchedSolver(circuit, dtype=jnp.float32)
-    assert solver.method == "band"
+    assert solver.method == "sband"
     batch = np.tile(circuit.stamps.params.astype(np.float32), (32, 1))
     xs = solver(batch)
     res = np.asarray(solver.residuals(batch, np.asarray(xs)))
@@ -272,7 +274,7 @@ def test_batched_band_f64_on_tpu():
     rows.append(["src", "A", "1", "n1_1", "g"])
     circuit = Circuit(Netlist.from_rows(rows))
     solver = BatchedSolver(circuit, dtype=jnp.float64)
-    assert solver.method == "band"
+    assert solver.method == "sband"
     batch = np.tile(circuit.stamps.params, (8, 1))
     xs = solver(batch)
     res = np.asarray(solver.residuals(batch, np.asarray(xs)))
@@ -294,7 +296,7 @@ def test_adjoint_gradient_through_band_kernel_mosaic():
     rows.append(["src", "A", "1", "n1_1", "g"])
     circuit = Circuit(Netlist.from_rows(rows))
     solver = BatchedSolver(circuit, dtype=jnp.float32)
-    assert solver.method == "band"
+    assert solver.method == "sband"
 
     rng = np.random.default_rng(2)
     p = jnp.asarray(np.tile(circuit.stamps.params, (2, 1)).astype(

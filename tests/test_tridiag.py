@@ -90,7 +90,9 @@ def test_batched_solver_block_method_matches():
     from nodal_tpu.utils.gridgen import grid_rows
 
     circuit = Circuit(Netlist.from_rows(grid_rows(5, 5, (0, 0), (4, 4))))
-    solver = BatchedSolver(circuit, dtype=jnp.float64)
+    # Narrow meshes now auto-route to the scalar band tier; pin 'block'.
+    assert BatchedSolver(circuit, dtype=jnp.float64).method == "sband"
+    solver = BatchedSolver(circuit, dtype=jnp.float64, method="block")
     assert solver.method == "block"
     base = circuit.stamps.params
     batch = np.tile(base, (3, 1))
