@@ -495,7 +495,7 @@ class BatchedSolver:
     * ``tridiag`` — chain/ladder topologies (bandwidth ≤ 1, purely
       resistive): band assembly + parallel cyclic reduction, O(n log n)
       work, no dense matrix ever built.
-    * ``sband``  — narrow-band resistive circuits (half-bandwidth ≤ 96
+    * ``sband``  — narrow-band resistive circuits (half-bandwidth ≤ 56
       after RCM — e.g. 2-D meshes): scalar banded LDLᵀ with the batch in
       the TPU lane dimension (ops.scalar_band / ops.pallas_scalar_band),
       O(n·w²) VPU work — orders of magnitude below any block tier.
@@ -553,8 +553,7 @@ class BatchedSolver:
         if method == "auto":
             if resistive and bandwidth(self.stamps) <= 1:
                 method = "tridiag"
-            elif resistive and (splan := sband_plan(self.stamps)) is not None \
-                    and sband_fits_vmem(splan.n_pad, splan.W1):
+            elif resistive and (splan := sband_plan(self.stamps)) is not None:
                 # Narrow band after RCM: the scalar LDLᵀ tier does n·w²
                 # VPU flops/sample where the block tiers do n·kb² (kb ≥
                 # 128) on the MXU — measured 25.3k vs 14.6k solves/s per
@@ -725,17 +724,23 @@ class BatchedSolver:
         elif method == "sband":
             splan = sband_plan(self.stamps)
             from nodal_tpu.ops.pallas_scalar_band import (
-                pallas_scalar_band_solve)
+                pallas_scalar_band_solve,
+                pallas_scalar_band_solve_stream,
+                sband_fits_stream,
+            )
             from nodal_tpu.ops.scalar_band import scalar_band_solve_scan
 
             on_tpu = jax.default_backend() == "tpu"
 
             def sband_core(U, b):
-                # f32 tier: the VMEM batch-in-lanes kernel; the lax.scan
+                # f32 tier: the VMEM batch-in-lanes kernel, or the
+                # row-chunk streaming variant past its reach; the lax.scan
                 # implementation everywhere else (CPU, f64 inputs).
-                if (on_tpu and U.dtype == jnp.float32
-                        and sband_fits_vmem(splan.n_pad, splan.W1)):
-                    return pallas_scalar_band_solve(U, b)
+                if on_tpu and U.dtype == jnp.float32:
+                    if sband_fits_vmem(splan.n_pad, splan.W1):
+                        return pallas_scalar_band_solve(U, b)
+                    if sband_fits_stream(splan.n_pad, splan.W1):
+                        return pallas_scalar_band_solve_stream(U, b)
                 return scalar_band_solve_scan(U, b)
 
             # Same policy as the band tier: f64-on-TPU routes through f32
@@ -874,20 +879,27 @@ class BatchedSolver:
                 and kbe < _K
             )
             from nodal_tpu.ops.pallas_scalar_band import (
-                pallas_scalar_band_solve_multi)
+                pallas_scalar_band_solve_multi,
+                pallas_scalar_band_solve_stream_multi,
+                sband_fits_stream,
+            )
             from nodal_tpu.ops.scalar_band import node_sband_plan
 
             nsplan = node_sband_plan(self.stamps)
-            if on_tpu_f32 and nsplan is not None and sband_fits_vmem(
-                    nsplan.n_pad, nsplan.W1, kbe + 1):
+            if on_tpu_f32 and nsplan is not None and (
+                    sband_fits_vmem(nsplan.n_pad, nsplan.W1, kbe + 1)
+                    or sband_fits_stream(nsplan.n_pad, nsplan.W1, kbe + 1)):
                 # Narrow-band node block: the scalar LDLᵀ kernel solves
                 # A⁻¹[B | bk] with every RHS column riding an augmented
                 # band slot — same plan interface as the block band tier,
                 # ~n·w² work instead of n·kb².
+                multi = (pallas_scalar_band_solve_multi
+                         if sband_fits_vmem(nsplan.n_pad, nsplan.W1,
+                                            kbe + 1)
+                         else pallas_scalar_band_solve_stream_multi)
                 assemble = _schur_band_assembler(self.stamps, dtype, nsplan)
                 solve_batch, solve_rhs_t = _make_schur_band_solver(
-                    assemble, pallas_scalar_band_solve_multi, nsplan,
-                    nk, kbe)
+                    assemble, multi, nsplan, nk, kbe)
                 self._finalize(solve_batch, solve_rhs_t)
                 return
 

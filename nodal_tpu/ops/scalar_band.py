@@ -43,9 +43,12 @@ from nodal_tpu.models.stamps import StampTensors, stamp_values
 from nodal_tpu.ops.band import rcm_order
 
 #: Past this half-bandwidth the per-step sublane work (O(w) vector ops of
-#: O(w) sublanes each) catches up with the block-Thomas MXU tier; RCM
-#: bandwidths above it keep the kb=128 block path.
-MAX_W = 96
+#: O(w) sublanes each) catches up with the block-Thomas MXU tier — the
+#: scalar tier's cost scales ~w² while the kb=128 block tier is flat in w,
+#: and the measured w=26 rates (94k/s scalar vs 20k/s block at n=1000,
+#: B=1024 on v5e) put the crossover near w ≈ 55.  Wider bands keep the
+#: block path.
+MAX_W = 56
 
 #: Plans are only built below this size (the VMEM kernel tier's reach;
 #: larger narrow-band systems stream through the block tier).

@@ -172,16 +172,24 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
 
         return local
 
-    from nodal_tpu.ops.pallas_scalar_band import (pallas_scalar_band_solve,
-                                                  sband_fits_vmem)
+    from nodal_tpu.ops.pallas_scalar_band import (
+        pallas_scalar_band_solve,
+        pallas_scalar_band_solve_stream,
+        sband_fits_stream,
+        sband_fits_vmem,
+    )
     from nodal_tpu.ops.scalar_band import sband_plan
 
     splan = sband_plan(stamps)
     if method in ("auto", "sband") and splan is not None \
-            and sband_fits_vmem(splan.n_pad, splan.W1) \
+            and (sband_fits_vmem(splan.n_pad, splan.W1)
+                 or sband_fits_stream(splan.n_pad, splan.W1)) \
             and bandwidth(stamps) > 1:
         # Narrow band: the scalar LDLᵀ batch-in-lanes kernel (same
         # structure preference as BatchedSolver).
+        core = (pallas_scalar_band_solve
+                if sband_fits_vmem(splan.n_pad, splan.W1)
+                else pallas_scalar_band_solve_stream)
 
         def local(pb, rhs=None):
             U, b = jax.vmap(
@@ -189,7 +197,7 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
             )(pb)
             if rhs is not None:
                 b = splan.rhs_to_band(rhs, U.dtype)
-            return splan.unpermute(pallas_scalar_band_solve(U, b))
+            return splan.unpermute(core(U, b))
 
         return local
 

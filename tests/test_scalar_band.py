@@ -154,3 +154,49 @@ def test_ladder_prefers_natural_order():
     c = Circuit(Netlist.from_rows(ladder_rows(64)))
     plan = make_scalar_band_plan(c.stamps)
     assert plan is not None and plan.w <= 2
+
+
+def test_stream_kernel_interpret_multi_chunk(monkeypatch):
+    """Streaming tier crosses chunk boundaries correctly (interpret mode,
+    chunk forced small so a ~200-row case spans several chunks)."""
+    from nodal_tpu.ops import pallas_scalar_band as psb
+
+    monkeypatch.setattr(psb, "_stream_chunk", lambda W1a: 64)
+    rows = list(grid_rows(7, 30, (0, 0), (6, 29)))
+    rows.append(["src", "A", "1", "1", "g"])
+    st = Circuit(Netlist.from_rows(rows)).stamps
+    plan = make_scalar_band_plan(st)
+    B = 2
+    rng = np.random.default_rng(3)
+    pb = st.params[None] * rng.uniform(0.9, 1.1, (B, len(st.params)))
+    U, b = jax.vmap(
+        lambda p: plan.assemble(st, p, dtype=jnp.float32)
+    )(jnp.asarray(pb, jnp.float32))
+    R = jnp.stack([b, -2.0 * b], axis=-1)
+    xs = np.asarray(psb.pallas_scalar_band_solve_stream_multi(U, R))
+    with jax.enable_x64(True):
+        xr = np.asarray(
+            scalar_band_solve_scan(
+                jnp.asarray(np.asarray(U), jnp.float64),
+                jnp.asarray(np.asarray(b), jnp.float64),
+            )
+        )
+    scale = np.abs(xr).max()
+    assert np.abs(xs[..., 0] - xr).max() / scale < 1e-4
+    assert np.abs(xs[..., 1] + 2 * xr).max() / scale < 1e-4
+
+
+def test_midsize_mesh_routes_to_sband():
+    """Past the VMEM tier the sband method stays selected (streaming
+    kernel on TPU; scan elsewhere) — residuals at f64 via refinement."""
+    from nodal_tpu.batch import BatchedSolver
+
+    rows = list(grid_rows(5, 800, (0, 0), (4, 799)))  # n=4000, w ~ 6
+    rows.append(["src", "A", "1", "1", "g"])
+    c = Circuit(Netlist.from_rows(rows))
+    solver = BatchedSolver(c, dtype=jnp.float64)
+    assert solver.method == "sband"
+    pb = np.tile(c.stamps.params, (2, 1))
+    xs = np.asarray(solver(pb))
+    res = np.asarray(solver.residuals(pb, xs))
+    assert res.max() < 1e-10
