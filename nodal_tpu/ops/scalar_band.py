@@ -50,8 +50,13 @@ from nodal_tpu.ops.band import rcm_order
 #: block path.
 MAX_W = 56
 
-#: Plans are only built below this size (the VMEM kernel tier's reach;
-#: larger narrow-band systems stream through the block tier).
+#: Plans are only built below this size.  The streaming kernel
+#: (ops/pallas_scalar_band.pallas_scalar_band_solve_stream) itself has no
+#: n limit, but its factored-band storage is O(B·n·W1a) in HBM — at the
+#: production batch size B=1024 and W1a=64 that is ~4.3 GB per buffer at
+#: n=16384, a sizeable slice of a 16 GB chip once the augmented input and
+#: solution buffers join it.  Larger narrow-band systems fall to the
+#: block-Thomas streaming tier, which factorizes in place.
 _MAX_N = 16384
 
 

@@ -341,6 +341,43 @@ def test_sharded_pallas_tridiag_kernel_matches_single():
     np.testing.assert_allclose(got, expected, rtol=0, atol=0)
 
 
+def test_sharded_pallas_sband_streaming_matches_single(monkeypatch):
+    """Past the VMEM tier the sharded narrow-band path rides the streaming
+    scalar-band kernel (forced here by gating off the VMEM tier and
+    shrinking the chunk so the 174-row mesh crosses chunk boundaries);
+    sharded output is bit-exact against the single-device kernel."""
+    from nodal_tpu.utils.gridgen import grid_rows
+    from nodal_tpu.ops import pallas_scalar_band as psb
+    from nodal_tpu.ops.scalar_band import sband_plan
+
+    monkeypatch.setattr(psb, "sband_fits_vmem", lambda *a, **k: False)
+    monkeypatch.setattr(psb, "_stream_chunk", lambda W1a: 64)
+
+    mesh = make_mesh(8)
+    rows = list(grid_rows(6, 30, (0, 0), (5, 29)))
+    rows.append(["src", "A", "1", "n1_1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+    splan = sband_plan(circuit.stamps)
+    assert splan is not None
+
+    solver = make_sharded_batch_solver(
+        circuit.stamps, mesh, dtype=jnp.float32, pallas="on"
+    )
+    rng = np.random.default_rng(13)
+    base = circuit.stamps.params
+    B = 16
+    batch = (base * (1.0 + 0.05 * rng.standard_normal((B, len(base))))
+             ).astype(np.float32)
+    got = np.asarray(solver(batch))
+
+    U, b = jax.vmap(
+        lambda p: splan.assemble(circuit.stamps, p, dtype=jnp.float32)
+    )(jnp.asarray(batch))
+    expected = np.asarray(
+        splan.unpermute(psb.pallas_scalar_band_solve_stream(U, b)))
+    np.testing.assert_allclose(got, expected, rtol=0, atol=0)
+
+
 def test_sharded_batch_solver_gradients_match_local():
     """jax.grad through the GSPMD-sharded solver (adjoint custom VJP over
     the sharded batch) must match the single-device BatchedSolver's
