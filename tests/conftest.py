@@ -17,7 +17,14 @@ if "host_platform_device_count" not in flags:
 # env var alone is not enough — override the config after import, before any
 # backend initializes.  Export NODAL_TPU_TEST_PLATFORM to run the suite
 # against real hardware instead.
-os.environ["JAX_PLATFORMS"] = os.environ.get("NODAL_TPU_TEST_PLATFORM", "cpu")
+_platform = os.environ.get("NODAL_TPU_TEST_PLATFORM", "cpu")
+if "cpu" not in _platform.split(","):
+    # Keep the host backend registered alongside the accelerator: the f64
+    # oracles (and _cpu_device_or_none) need it, and TPU-f64 LU does not
+    # exist — NODAL_TPU_TEST_PLATFORM=axon alone would make the oracle
+    # compile f64 LuDecomposition on the TPU and fail.
+    _platform += ",cpu"
+os.environ["JAX_PLATFORMS"] = _platform
 
 import jax  # noqa: E402
 
