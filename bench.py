@@ -263,6 +263,15 @@ def bench_general_sparse(n_nodes: int):
     y = np.zeros(c.stamps.n)
     np.add.at(y, c.stamps.g_rows, g_vals * sol.result[c.stamps.g_cols])
     rel = float(np.max(np.abs(b - y)) / max(np.max(np.abs(b)), 1.0))
+
+    # Adjoint sensitivities at scale: d x[out]/d(every component) — one
+    # forward + one transpose solve, both riding the cached factorization.
+    from nodal_tpu.ops.sparse_schur import general_sparse_adjoint_gradient
+
+    t0 = time.perf_counter()
+    pbar, _x, info_f, info_a = general_sparse_adjoint_gradient(
+        c.stamps, c.stamps.n_kcl // 2)
+    grad_warm = time.perf_counter() - t0
     return {
         "sparse_nodes": c.stamps.n_kcl,
         "sparse_method": sol.stats["method"],
@@ -270,6 +279,9 @@ def bench_general_sparse(n_nodes: int):
         "sparse_warm_s": round(warm, 2),
         "sparse_rel_residual_f64": rel,
         "sparse_iterations": sol.stats.get("iterations"),
+        "sparse_grad_warm_s": round(grad_warm, 2),
+        "sparse_grad_components": int(len(pbar)),
+        "sparse_grad_adj_residual": float(info_a.residual),
     }
 
 

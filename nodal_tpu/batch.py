@@ -1285,6 +1285,26 @@ def sensitivities(
                 "current variable)")
         idx = netlist.nums["kcl"] + netlist.anomnum[current]
 
+    # Sparse-constructed circuits route through the bordered-elimination
+    # adjoint (host f64, cached factorization): the BatchedSolver methods
+    # below would fall to a dense [n, n] assembly on large general
+    # circuits — at the 100k-node scale the sparse path exists for, that
+    # is an 80 GB non-starter.  Cost: one forward + one transpose solve.
+    if getattr(circuit, "sparse", False):
+        from nodal_tpu.ops.sparse_schur import (
+            general_plan, general_sparse_adjoint_gradient)
+
+        if general_plan(stamps).viable:
+            pbar, _x, info_f, info_a = general_sparse_adjoint_gradient(
+                stamps, idx)
+            if not (bool(info_f.converged) and bool(info_a.converged)):
+                raise np.linalg.LinAlgError(
+                    "adjoint solve did not converge (residuals "
+                    f"{float(info_f.residual):.2e} fwd / "
+                    f"{float(info_a.residual):.2e} adj)")
+            return {name: float(pbar[slot])
+                    for name, slot in stamps.param_slot.items()}
+
     import contextlib
 
     # Follow the Circuit's device-placement policy (small systems and f64

@@ -249,6 +249,113 @@ def _cpu_scope():
     return jax.default_device(cpu)
 
 
+def _value_blocks(stamps: StampTensors, plan: GeneralPlan, g_vals):
+    """Numeric blocks of the partition for one value vector: deduped A11
+    values, the dense A22 block, and the A21/A12 couplings as
+    block-local triplets ``(rows, cols, vals)``."""
+    gr = stamps.g_rows.astype(np.int64)
+    gc = stamps.g_cols.astype(np.int64)
+    a11_vals = np.zeros(len(plan.a11_rows))
+    np.add.at(a11_vals, plan.a11_slot_of_entry, g_vals[plan.a11_sel])
+    m = plan.m
+    A22 = np.zeros((m, m))
+    np.add.at(
+        A22,
+        (plan.pos[gr[plan.a22_sel]], plan.pos[gc[plan.a22_sel]]),
+        g_vals[plan.a22_sel],
+    )
+    a21 = (plan.pos[gr[plan.a21_sel]], plan.pos[gc[plan.a21_sel]],
+           g_vals[plan.a21_sel])
+    a12 = (plan.pos[gr[plan.a12_sel]], plan.pos[gc[plan.a12_sel]],
+           g_vals[plan.a12_sel])
+    return a11_vals, A22, a21, a12
+
+
+def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
+                   cg_tol: float):
+    """b-independent block factorization at ``cg_tol``: ``((solve_cols,
+    YB, lu, piv), iters)``, or ``(None, iters)`` when CG stalled building
+    YB.
+
+    Cached on the stamps object keyed by (stamp-values digest, tol):
+    YB = A11⁻¹A12 is m CG solves — the dominant cost — while each *solve*
+    with the factorization needs only one CG pass for its own RHS, so
+    repeat solves on the same parameter values (the reference's SuperLU
+    refactors every time) drop from ~m+1 CG solves to ~1 + refinement.
+    The same factorization serves the TRANSPOSED system (adjoint solves):
+    A11 is symmetric, so only the Schur border needs ``trans=1``.
+    """
+    import hashlib
+
+    import scipy.linalg as sla
+
+    key = (hashlib.sha1(g_vals.tobytes()).hexdigest(), float(cg_tol))
+    cache = getattr(stamps, "_general_fact", None)
+    if cache is not None and cache.get("key") == key:
+        return cache["fact"], 0
+
+    a11_vals, A22, a21, a12 = _value_blocks(stamps, plan, g_vals)
+    a21_r, a21_c, a21_v = a21
+    n1, m = plan.n1, plan.m
+    iters = 0
+
+    if n1 > 0:
+        solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol)
+        R = np.zeros((m, n1))
+        np.add.at(R, (a12[1], a12[0]), a12[2])
+        YB = np.empty_like(R)  # rows j = A11^-1 A12[:, j]
+        ok = True
+        for lo in range(0, m, _RHS_CHUNK):
+            hi = min(lo + _RHS_CHUNK, m)
+            # Pass host numpy: solve_cols commits its inputs to the
+            # CPU device itself.  A jnp.asarray here would place the
+            # batch on the session default accelerator and drag the
+            # whole vmapped CG onto the (emulated-f64, remote-compile)
+            # TPU path — measured 309 s vs 2.5 s for one such solve.
+            xs, infos = solve_cols(R[lo:hi])
+            YB[lo:hi] = np.asarray(xs)
+            iters += int(np.sum(np.asarray(infos.iterations)))
+            ok = ok and bool(np.all(np.asarray(infos.converged)))
+        if not ok or not np.all(np.isfinite(YB)):
+            logger.error(
+                "AMG-CG stalled on the grounded node block (n1=%d)", n1
+            )
+            return None, iters
+
+        # S = A22 - A21 Y_B^T
+        A21YB = np.zeros((m, m))
+        if len(a21_v):
+            np.add.at(A21YB, (a21_r,), a21_v[:, None] * YB[:, a21_c].T)
+        S = A22 - A21YB
+    else:
+        solve_cols = None
+        YB = np.zeros((m, 0))
+        S = A22
+
+    # Pivoted dense factorization of the Schur complement.  A singular
+    # S raises LinAlgError here — the same surface as the reference
+    # dense path (numpy.linalg.solve at reference nodal.py:327).
+    if m > 0:
+        import warnings
+
+        with warnings.catch_warnings():
+            # A zero pivot (structurally singular circuit) produces
+            # inf/nan back-substitutions that the residual gate below
+            # catches and surfaces as LinAlgError through the caller's
+            # diagnosis — scipy's LinAlgWarning here is just noise.
+            warnings.simplefilter("ignore", sla.LinAlgWarning)
+            lu, piv = sla.lu_factor(S)
+        if not np.all(np.isfinite(lu)):
+            raise np.linalg.LinAlgError("Singular matrix")
+    else:
+        lu = piv = None
+    fact = (solve_cols, YB, lu, piv)
+    stamps._general_fact = {  # type: ignore[attr-defined]
+        "key": key, "fact": fact,
+    }
+    return fact, iters
+
+
 def solve_general_sparse(
     stamps: StampTensors,
     params=None,
@@ -306,24 +413,9 @@ def solve_general_sparse(
     b2 = b[plan.border]
 
     n1, m = plan.n1, plan.m
-
-    # A11 (deduped, K1-local, f64)
-    a11_vals = np.zeros(len(plan.a11_rows))
-    np.add.at(a11_vals, plan.a11_slot_of_entry, g_vals[plan.a11_sel])
-
-    # Border blocks, dense f64 (m is small by construction).
     gr = stamps.g_rows.astype(np.int64)
     gc = stamps.g_cols.astype(np.int64)
-    A22 = np.zeros((m, m))
-    np.add.at(
-        A22,
-        (plan.pos[gr[plan.a22_sel]], plan.pos[gc[plan.a22_sel]]),
-        g_vals[plan.a22_sel],
-    )
-    # A12 as columns of the CG right-hand-side matrix; A21 kept as triplets.
-    a21_r = plan.pos[gr[plan.a21_sel]]
-    a21_c = plan.pos[gc[plan.a21_sel]]
-    a21_v = g_vals[plan.a21_sel]
+    _, _, (a21_r, a21_c, a21_v), _ = _value_blocks(stamps, plan, g_vals)
 
     b_scale = max(float(np.max(np.abs(b))) if stamps.n else 0.0, 1.0)
     total_iters = 0
@@ -334,90 +426,12 @@ def solve_general_sparse(
             np.add.at(y, gr, g_vals * x[gc])
         return b - y
 
-    def factorization(cg_tol):
-        """b-independent block factorization at ``cg_tol``: ``(solve_cols,
-        YB, lu, piv)``, or None when CG stalled building YB.
-
-        Cached on the stamps object keyed by (stamp-values digest, tol):
-        YB = A11⁻¹A12 is m CG solves — the dominant cost — while each
-        *solve* with the factorization needs only one CG pass for its own
-        RHS, so repeat solves on the same parameter values (the
-        reference's SuperLU refactors every time) drop from ~m+1 CG solves
-        to ~1 + refinement.
-        """
-        nonlocal total_iters
-        import hashlib
-
-        key = (hashlib.sha1(g_vals.tobytes()).hexdigest(), float(cg_tol))
-        cache = getattr(stamps, "_general_fact", None)
-        if cache is not None and cache.get("key") == key:
-            return cache["fact"]
-
-        if n1 > 0:
-            solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol)
-            R = np.zeros((m, n1))
-            np.add.at(
-                R,
-                (plan.pos[gc[plan.a12_sel]], plan.pos[gr[plan.a12_sel]]),
-                g_vals[plan.a12_sel],
-            )
-            YB = np.empty_like(R)  # rows j = A11^-1 A12[:, j]
-            ok = True
-            for lo in range(0, m, _RHS_CHUNK):
-                hi = min(lo + _RHS_CHUNK, m)
-                # Pass host numpy: solve_cols commits its inputs to the
-                # CPU device itself.  A jnp.asarray here would place the
-                # batch on the session default accelerator and drag the
-                # whole vmapped CG onto the (emulated-f64, remote-compile)
-                # TPU path — measured 309 s vs 2.5 s for one such solve.
-                xs, infos = solve_cols(R[lo:hi])
-                YB[lo:hi] = np.asarray(xs)
-                total_iters += int(np.sum(np.asarray(infos.iterations)))
-                ok = ok and bool(np.all(np.asarray(infos.converged)))
-            if not ok or not np.all(np.isfinite(YB)):
-                logger.error(
-                    "AMG-CG stalled on the grounded node block (n1=%d)", n1
-                )
-                return None
-
-            # S = A22 - A21 Y_B^T
-            A21YB = np.zeros((m, m))
-            if len(a21_v):
-                np.add.at(A21YB, (a21_r,), a21_v[:, None] * YB[:, a21_c].T)
-            S = A22 - A21YB
-        else:
-            solve_cols = None
-            YB = np.zeros((m, 0))
-            S = A22
-
-        # Pivoted dense factorization of the Schur complement.  A singular
-        # S raises LinAlgError here — the same surface as the reference
-        # dense path (numpy.linalg.solve at reference nodal.py:327).
-        if m > 0:
-            import warnings
-
-            with warnings.catch_warnings():
-                # A zero pivot (structurally singular circuit) produces
-                # inf/nan back-substitutions that the residual gate below
-                # catches and surfaces as LinAlgError through the caller's
-                # diagnosis — scipy's LinAlgWarning here is just noise.
-                warnings.simplefilter("ignore", sla.LinAlgWarning)
-                lu, piv = sla.lu_factor(S)
-            if not np.all(np.isfinite(lu)):
-                raise np.linalg.LinAlgError("Singular matrix")
-        else:
-            lu = piv = None
-        fact = (solve_cols, YB, lu, piv)
-        stamps._general_fact = {  # type: ignore[attr-defined]
-            "key": key, "fact": fact,
-        }
-        return fact
-
     def attempt(cg_tol):
         """Solve with the (cached) factorization at ``cg_tol`` and refine.
         Returns ``(x, rel, stalled)``; ``x`` is None when CG stalled."""
         nonlocal total_iters
-        fact = factorization(cg_tol)
+        fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol)
+        total_iters += f_iters
         if fact is None:
             return None, np.inf, False
         solve_cols, YB, lu, piv = fact
@@ -509,6 +523,223 @@ def solve_general_sparse(
         converged=np.bool_(bool(np.isfinite(rel) and rel <= tol)),
         method="schur",
     )
+
+
+def solve_general_sparse_transpose(
+    stamps: StampTensors,
+    params=None,
+    *,
+    rhs,
+    tol: float = 1e-9,
+    setup_tol: float = 1e-4,
+    refine_passes: int = 14,
+):
+    """f64 solve of the TRANSPOSED general sparse system ``Gᵀ y = rhs``.
+
+    This is the adjoint-method workhorse at scale: the bordered
+    factorization from :func:`solve_general_sparse` is reused verbatim
+    (and shared through the same cache) because A11 is symmetric — the
+    node block of G is the grounded resistor Laplacian, so
+    A11⁻ᵀ = A11⁻¹ — and the Schur complement of Gᵀ is exactly Sᵀ:
+
+        Gᵀ = [A11  A21ᵀ]      Schur(Gᵀ) = A22ᵀ − A12ᵀ A11⁻¹ A21ᵀ = Sᵀ.
+             [A12ᵀ A22ᵀ]
+
+    One transpose solve therefore costs two CG passes on A11 (w₁ = A11⁻¹
+    rhs₁ and the back-substitution) plus one ``trans=1`` dense
+    back-substitution on the cached Schur LU — no new factorization work.
+    Refinement runs against the exact f64 COO residual of Gᵀ.
+
+    Returns ``(y, GeneralSolveInfo)`` like the forward solve.
+    """
+    import scipy.linalg as sla
+
+    plan = general_plan(stamps)
+    if not plan.viable:
+        raise ValueError(
+            f"border too large for bordered elimination "
+            f"(m={plan.m}, n1={plan.n1}); use an iterative path"
+        )
+    if params is None:
+        params = stamps.params
+    params = np.asarray(params, dtype=np.float64)
+    g_vals, _ = stamp_values_np(stamps, params)
+
+    c = np.asarray(rhs, dtype=np.float64)
+    c1 = c[plan.k1]
+    c2 = c[plan.border]
+
+    n1, m = plan.n1, plan.m
+    gr = stamps.g_rows.astype(np.int64)
+    gc = stamps.g_cols.astype(np.int64)
+    (_, _, (a21_r, a21_c, a21_v),
+     (a12_r, a12_c, a12_v)) = _value_blocks(stamps, plan, g_vals)
+
+    c_scale = max(float(np.max(np.abs(c))) if stamps.n else 0.0, 1.0)
+    total_iters = 0
+
+    def full_residual_t(y):
+        z = np.zeros(stamps.n)
+        with np.errstate(invalid="ignore"):
+            np.add.at(z, gc, g_vals * y[gr])  # Gᵀ y
+        return c - z
+
+    def attempt(cg_tol):
+        nonlocal total_iters
+        fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol)
+        total_iters += f_iters
+        if fact is None:
+            return None, np.inf, False
+        solve_cols, YB, lu, piv = fact
+
+        def solve_a11(r):
+            """One CG pass A11⁻¹ r, or None on stall."""
+            nonlocal total_iters
+            ws, info = solve_cols(r[None])
+            total_iters += int(np.asarray(info.iterations)[0])
+            w = np.asarray(ws)[0]
+            if not bool(np.asarray(info.converged)[0]) or \
+                    not np.all(np.isfinite(w)):
+                logger.error(
+                    "AMG-CG stalled on the grounded node block (n1=%d)", n1
+                )
+                return None
+            return w
+
+        def back_substitute_t(r1, r2):
+            """One Gᵀ solve with the block factorization: eliminate y1 =
+            A11⁻¹(r1 − A21ᵀ y2), Schur system Sᵀ y2 = r2 − A12ᵀ A11⁻¹ r1."""
+            if n1:
+                w1 = solve_a11(r1)
+                if w1 is None:
+                    return None, None
+            else:
+                w1 = np.zeros(0)
+            rs = np.asarray(r2, dtype=np.float64).copy()
+            if len(a12_v):
+                np.subtract.at(rs, a12_c, a12_v * w1[a12_r])
+            with np.errstate(invalid="ignore"):
+                y2 = (sla.lu_solve((lu, piv), rs, trans=1)
+                      if m else np.zeros(0))
+            if n1:
+                t = np.zeros(n1)
+                if len(a21_v):
+                    np.add.at(t, a21_c, a21_v * y2[a21_r])
+                # y1 = A11⁻¹(r1 − A21ᵀ y2) = w1 − A11⁻¹ A21ᵀ y2
+                w2 = solve_a11(t) if len(a21_v) else np.zeros(n1)
+                if w2 is None:
+                    return None, None
+                y1 = w1 - w2
+            else:
+                y1 = np.zeros(0)
+            return y1, y2
+
+        y1, y2 = back_substitute_t(c1, c2)
+        if y1 is None:
+            return None, np.inf, False
+        y = np.empty(stamps.n)
+        y[plan.k1] = y1
+        y[plan.border] = y2
+
+        rel = np.inf
+        for _ in range(max(refine_passes, 1)):
+            r = full_residual_t(y)
+            rel_new = float(np.max(np.abs(r))) / c_scale
+            if rel_new <= tol or not np.isfinite(rel_new):
+                return y, rel_new, False
+            if rel_new > 0.3 * rel:  # stalled: factorization too sloppy
+                return y, rel_new, True
+            rel = rel_new
+            dy1, dy2 = back_substitute_t(r[plan.k1], r[plan.border])
+            if dy1 is None:
+                return y, rel, True
+            y[plan.k1] += dy1
+            y[plan.border] += dy2
+        r = full_residual_t(y)
+        return y, float(np.max(np.abs(r))) / c_scale, True
+
+    cg_tol = min(max(setup_tol, tol), 1e-3)
+    y, rel, stalled = attempt(cg_tol)
+    if y is not None and stalled and rel > tol and cg_tol > tol * 10:
+        logger.info(
+            "bordered elimination (transpose): refinement stalled at %.2e "
+            "with setup_tol=%.0e; rebuilding at %.0e", rel, cg_tol, tol,
+        )
+        y2_, rel2, _ = attempt(tol)
+        if y2_ is not None and (rel2 < rel or not np.isfinite(rel)):
+            y, rel = y2_, rel2
+    if y is None:
+        return np.full(stamps.n, np.nan), GeneralSolveInfo(
+            residual=np.float64(np.inf),
+            iterations=np.int64(total_iters),
+            converged=np.bool_(False),
+            method="schur-T",
+        )
+    return y, GeneralSolveInfo(
+        residual=np.float64(rel),
+        iterations=np.int64(total_iters),
+        converged=np.bool_(bool(np.isfinite(rel) and rel <= tol)),
+        method="schur-T",
+    )
+
+
+def general_sparse_adjoint_gradient(
+    stamps: StampTensors,
+    out_index: int,
+    params=None,
+    *,
+    tol: float = 1e-9,
+):
+    """d x[out_index] / d(every component value) via the adjoint method,
+    entirely host-side — the at-scale (100k+ node) counterpart of
+    :func:`nodal_tpu.batch.sensitivities`.
+
+    Cost: one forward solve + one transpose solve (both reuse the cached
+    bordered factorization — on a warm cache this is two CG passes) + the
+    COO chain rule; independent of the component count.  Returns
+    ``(pbar [n_components] float64, x, info_forward, info_adjoint)``.
+    """
+    from nodal_tpu.models.stamps import _INV, _LIN
+
+    if params is None:
+        params = stamps.params
+    params = np.asarray(params, dtype=np.float64)
+
+    x, info_f = solve_general_sparse(stamps, params, tol=tol)
+    e = np.zeros(stamps.n)
+    e[out_index] = 1.0
+    lam, info_a = solve_general_sparse_transpose(stamps, params, rhs=e,
+                                                 tol=tol)
+
+    # x̄ = λᵀ(∂b/∂p − ∂G/∂p·x): per-entry cotangents, then the product-
+    # rule pullback of stamp values v = coeff · f(p₁,e₁) · f(p₂,e₂) with
+    # f = p, 1/p, or 1 (numpy mirror of stamp_values' jax VJP).
+    gbar = -(lam[stamps.g_rows.astype(np.int64)]
+             * x[stamps.g_cols.astype(np.int64)])
+    rhsbar = lam[stamps.rhs_rows.astype(np.int64)]
+
+    def fac(pidx, exp):
+        v = params[pidx]
+        return np.where(exp == _LIN, v, np.where(exp == _INV, 1.0 / v, 1.0))
+
+    def dfac(pidx, exp):
+        v = params[pidx]
+        with np.errstate(divide="ignore"):
+            d = np.where(exp == _INV, -1.0 / (v * v), 0.0)
+        return np.where(exp == _LIN, 1.0, d)
+
+    pbar = np.zeros_like(params)
+    for pidx1, exp1, pidx2, exp2, coeff, bar in (
+        (stamps.g_p1, stamps.g_e1, stamps.g_p2, stamps.g_e2,
+         stamps.g_coeff, gbar),
+        (stamps.rhs_p1, stamps.rhs_e1, stamps.rhs_p2, stamps.rhs_e2,
+         stamps.rhs_coeff, rhsbar),
+    ):
+        f1 = fac(pidx1, exp1)
+        f2 = fac(pidx2, exp2)
+        np.add.at(pbar, pidx1, bar * coeff * dfac(pidx1, exp1) * f2)
+        np.add.at(pbar, pidx2, bar * coeff * f1 * dfac(pidx2, exp2))
+    return pbar, x, info_f, info_a
 
 
 def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol):

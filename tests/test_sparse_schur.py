@@ -211,3 +211,91 @@ def test_rhs_override():
     G, _ = c.build_model()
     expected = np.linalg.solve(G, rhs)
     assert np.allclose(x, expected, atol=1e-8)
+
+
+# -- transpose solve + adjoint sensitivities (round 3) -----------------------
+
+
+@pytest.mark.parametrize("ground_resistor", [True, False])
+def test_transpose_solve_matches_dense(ground_resistor):
+    """Gᵀy = c through the reused bordered factorization must match the
+    dense f64 transpose solve (A11 symmetric ⇒ same YB/Schur LU serve both
+    orientations)."""
+    from nodal_tpu.ops.sparse_schur import solve_general_sparse_transpose
+
+    nl = _mesh_with_sources(6, 7, ground_resistor=ground_resistor)
+    c = Circuit(nl, sparse=True)
+    rng = np.random.default_rng(7)
+    rhs = rng.standard_normal(c.stamps.n)
+    y, info = solve_general_sparse_transpose(c.stamps, rhs=rhs)
+    assert bool(info.converged), float(info.residual)
+    G, _ = c.build_model()
+    expected = np.linalg.solve(np.asarray(G).T, rhs)
+    err = np.max(np.abs(y - expected)) / np.max(np.abs(expected))
+    assert err < 1e-8, err
+
+
+def test_transpose_reuses_forward_factorization():
+    """A transpose solve after a forward solve must hit the cached
+    b-independent factorization (same stamp values ⇒ same digest key)."""
+    from nodal_tpu.ops.sparse_schur import solve_general_sparse_transpose
+
+    nl = _mesh_with_sources(6, 7)
+    c = Circuit(nl, sparse=True)
+    solve_general_sparse(c.stamps)
+    fact_before = c.stamps._general_fact["fact"]
+    rhs = np.zeros(c.stamps.n)
+    rhs[3] = 1.0
+    y, info = solve_general_sparse_transpose(c.stamps, rhs=rhs)
+    assert bool(info.converged)
+    assert c.stamps._general_fact["fact"] is fact_before
+
+
+def test_adjoint_gradient_matches_dense_autodiff():
+    """d x[idx] / d(every component) from the host adjoint (forward +
+    transpose solve + COO chain rule) vs a full-f64 jax autodiff oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from nodal_tpu.ops.assemble import assemble_dense
+    from nodal_tpu.ops.sparse_schur import general_sparse_adjoint_gradient
+
+    nl = _mesh_with_sources(6, 7)
+    c = Circuit(nl, sparse=True)
+    idx = 5
+    pbar, x, info_f, info_a = general_sparse_adjoint_gradient(c.stamps, idx)
+    assert bool(info_f.converged) and bool(info_a.converged)
+
+    def f(q):
+        G, b = assemble_dense(c.stamps, q, dtype=jnp.float64)
+        return jnp.linalg.solve(G, b)[idx]
+
+    go = np.asarray(jax.grad(f)(jnp.asarray(c.stamps.params,
+                                            dtype=jnp.float64)))
+    rel = np.max(np.abs(pbar - go)) / np.max(np.abs(go))
+    assert rel < 1e-8, rel
+
+
+def test_sensitivities_routes_sparse_circuits_through_adjoint():
+    """sensitivities() on a sparse-constructed circuit must use the
+    bordered-elimination adjoint (no dense [n,n] assembly) and agree with
+    the dense-circuit route."""
+    from nodal_tpu.batch import sensitivities
+
+    nl = _mesh_with_sources(6, 7)
+    sparse_c = Circuit(nl, sparse=True)
+    dense_c = Circuit(_mesh_with_sources(6, 7))
+
+    got = sensitivities(sparse_c, potential="n2_3")
+    want = sensitivities(dense_c, potential="n2_3")
+    assert set(got) == set(want)
+    scale = max(abs(v) for v in want.values())
+    for name in want:
+        assert abs(got[name] - want[name]) <= 1e-8 * max(scale, 1.0), name
+
+    # Branch-current outputs route the same way.
+    got_i = sensitivities(sparse_c, current="e1")
+    want_i = sensitivities(dense_c, current="e1")
+    scale = max(abs(v) for v in want_i.values())
+    for name in want_i:
+        assert abs(got_i[name] - want_i[name]) <= 1e-8 * max(scale, 1.0)
