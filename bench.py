@@ -157,6 +157,11 @@ def bench_monte_carlo(n_nodes: int = 256, n_samples: int = 10_000):
     scalars cross the host link."""
     from nodal_tpu.batch import monte_carlo
 
+    import jax
+    import jax.numpy as jnp
+
+    from nodal_tpu.batch import BatchedSolver, _coo_residuals
+
     circuit = _ladder_circuit(n_nodes)
     tolerances = {f"rs{k}": 0.05 for k in range(n_nodes)}
     monte_carlo(circuit, tolerances, n=n_samples, seed=0)  # compile
@@ -165,11 +170,54 @@ def bench_monte_carlo(n_nodes: int = 256, n_samples: int = 10_000):
         t0 = time.perf_counter()
         out = monte_carlo(circuit, tolerances, n=n_samples, seed=seed)
         best = min(best, time.perf_counter() - t0)
+
+    # Sustained form: the sweep's device compute is ~1-5 ms, so the
+    # per-call figure above is one dispatch RTT (25-39 ms through the
+    # remote tunnel).  Chain k full sweeps — sampling, solve, stats, and
+    # the fused COO audit — in ONE program with one scalar fetch, the
+    # same convention as every other *_sustained metric.
+    stamps = circuit.stamps
+    solver = BatchedSolver(circuit, dtype=jnp.float32)
+    slots = jnp.asarray(
+        np.array([stamps.param_slot[m] for m in tolerances]))
+    sigmas = jnp.asarray(np.array(list(tolerances.values())), jnp.float32)
+    base = jnp.asarray(stamps.params, dtype=jnp.float32)
+    k = 4
+
+    @jax.jit
+    def run_k(seed0):
+        checksum = jnp.float32(0.0)
+        worst = jnp.float32(0.0)
+        for i in range(k):
+            key = jax.random.PRNGKey(seed0 + i)
+            noise = jax.random.normal(key, (n_samples, slots.shape[0]),
+                                      dtype=jnp.float32)
+            batch = jnp.broadcast_to(base, (n_samples, base.shape[0]))
+            batch = batch.at[:, slots].set(
+                base[slots] * (1.0 + sigmas * noise))
+            xs = solver._solve(batch)
+            res = _coo_residuals(stamps, batch, xs.astype(batch.dtype))
+            checksum = checksum + jnp.sum(jnp.mean(xs, axis=0))
+            worst = jnp.maximum(worst, jnp.max(res))
+        return checksum, worst
+
+    c, w = run_k(17)
+    float(c)  # compile + drain
+    sustained_best = float("inf")
+    for seed0 in (101, 202, 303):
+        t0 = time.perf_counter()
+        c, w = run_k(seed0)
+        float(c)
+        sustained_best = min(sustained_best, time.perf_counter() - t0)
+
     return {
         "mc_solves_per_sec": round(n_samples / best, 2),
+        "mc_sustained_solves_per_sec": round(
+            k * n_samples / sustained_best, 2),
         "mc_samples": n_samples,
         "mc_nodes": n_nodes,
         "mc_max_residual": float(out["max_residual"]),
+        "mc_sustained_max_residual": float(w),
     }
 
 
