@@ -81,6 +81,46 @@ def weighted_grid_rows(
                    name(i, j), name(i + 1, j)]
 
 
+def weighted_lattice_rows(
+    gx,
+    gy,
+    gz,
+    probe_a: tuple[int, int, int] | None = None,
+    probe_b: tuple[int, int, int] | None = None,
+):
+    """Netlist rows for a 3-D lattice with per-edge conductances.
+
+    ``gx[d, h, w-1]``/``gy[d, h-1, w]``/``gz[d-1, h, w]`` are edge
+    conductances (resistance = 1/g), matching
+    nodal_tpu.ops.grid_weighted3's layout — used to cross-validate the
+    matrix-free weighted lattice path against the netlist path.
+    """
+    d, h, w = gy.shape[0], gx.shape[1], gy.shape[2]
+
+    def name(k: int, i: int, j: int) -> str:
+        if probe_a is not None and (k, i, j) == tuple(probe_a):
+            return "1"
+        if probe_b is not None and (k, i, j) == tuple(probe_b):
+            return "g"
+        return f"n{k}_{i}_{j}"
+
+    for k in range(d):
+        for i in range(h):
+            for j in range(w - 1):
+                yield [f"rx{k}_{i}_{j}", "R", repr(1.0 / float(gx[k, i, j])),
+                       name(k, i, j), name(k, i, j + 1)]
+    for k in range(d):
+        for i in range(h - 1):
+            for j in range(w):
+                yield [f"ry{k}_{i}_{j}", "R", repr(1.0 / float(gy[k, i, j])),
+                       name(k, i, j), name(k, i + 1, j)]
+    for k in range(d - 1):
+        for i in range(h):
+            for j in range(w):
+                yield [f"rz{k}_{i}_{j}", "R", repr(1.0 / float(gz[k, i, j])),
+                       name(k, i, j), name(k + 1, i, j)]
+
+
 def ladder_rows(n: int, resistance: float = 1.0, source: float = 1.0) -> list[list[str]]:
     """An n-rung R-ladder driven by a current source — the 1k-node batched
     sweep benchmark circuit (BASELINE.md 'dense repeat solve' row)."""
