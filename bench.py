@@ -27,7 +27,10 @@ import time
 # jax first loads — which sitecustomize may do at interpreter startup,
 # before any line of this file — so a one-time re-exec with the env set is
 # the only reliable hook.
-if os.environ.get("_NODAL_BENCH_REEXEC") != "1":
+if (__name__ == "__main__"
+        and os.environ.get("_NODAL_BENCH_REEXEC") != "1"):
+    # Script runs only — `import bench` (tests, wrappers reusing the
+    # bench_* helpers) must never exec over the importing process.
     os.environ["_NODAL_BENCH_REEXEC"] = "1"
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.execv(sys.executable, [sys.executable] + sys.argv)

@@ -226,6 +226,13 @@ def _banded_spd_probe(stamps: StampTensors, plan) -> bool:
 #: gather-fold pass reads ``width`` slots per output row).
 _RESID_FOLD_MAX_WIDTH = 16
 
+#: Auto-selection refuses the dense ('block') tier above this many
+#: unknowns: one [n, n] f32 factorization is already 1 GB at n=16384, and
+#: a batch of them has no chance — large circuits without banded
+#: structure belong on the iterative/stencil paths (Circuit.solve,
+#: grid_solve), not in a silent OOM.
+_DENSE_BATCH_MAX_N = 16384
+
 
 def _resid_gather_tables(stamps: StampTensors):
     """Per-MNA-row gather lists over the COO stamp entries, or None when
@@ -568,6 +575,17 @@ class BatchedSolver:
                 # does fewer matmul passes than kb²-sized block inverses.
                 method = "band"
             elif resistive:
+                if self.stamps.n > _DENSE_BATCH_MAX_N:
+                    # No banded structure at a size where the dense tier
+                    # cannot be materialized ([B, n, n] is ~22 GB/sample
+                    # f32 at n=75k) — fail loudly instead of OOMing.
+                    raise ValueError(
+                        f"circuit has no banded structure and n="
+                        f"{self.stamps.n} exceeds the dense batch tier "
+                        f"(n <= {_DENSE_BATCH_MAX_N}); use Circuit.solve "
+                        "(sparse AMG-CG), grid_solve for regular grids, "
+                        "or equivalent_resistance_stamps for probe solves"
+                    )
                 method = "block"
             elif self.stamps.n_kcl >= 256 and _schur_supported(self.stamps):
                 # Big node block + few branch equations: block elimination
@@ -872,12 +890,34 @@ class BatchedSolver:
                 pallas_band_solve_multi_stream,
             )
 
-            on_tpu_f32 = (
-                not refine
-                and jax.default_backend() == "tpu"
-                and jnp.dtype(dtype) == jnp.float32
-                and kbe < _K
-            )
+            on_tpu = jax.default_backend() == "tpu"
+            tpu_kernels = on_tpu and kbe < _K
+            # f64 (or refine=True) on TPU: no f64 LU compiles there — the
+            # band/LU kernels factor in f32 and the result is defect-
+            # corrected against the exact f64 COO operator below, the
+            # same convention as every other refined tier.  Off-TPU the
+            # f64 request stays a direct f64 solve (branch further down).
+            tpu_refined = on_tpu and (
+                refine or jnp.dtype(dtype) == jnp.float64)
+
+            def finalize_schur(solve_batch, solve_rhs_t):
+                if tpu_refined:
+                    stamps = self.stamps
+                    core_b, core_t = solve_batch, solve_rhs_t
+
+                    def solve_batch(pb, rhs=None):
+                        x = core_b(pb, rhs)
+                        return _coo_defect_refine(
+                            stamps, pb, rhs, x,
+                            lambda r: core_b(pb, r), iters=2)
+
+                    def solve_rhs_t(pb, rhs):
+                        y = core_t(pb, rhs)
+                        return _coo_defect_refine(
+                            _transposed_stamps(stamps), pb, rhs, y,
+                            lambda r: core_t(pb, r), iters=2)
+
+                self._finalize(solve_batch, solve_rhs_t)
             from nodal_tpu.ops.pallas_scalar_band import (
                 pallas_scalar_band_solve_multi,
                 pallas_scalar_band_solve_stream_multi,
@@ -886,7 +926,7 @@ class BatchedSolver:
             from nodal_tpu.ops.scalar_band import node_sband_plan
 
             nsplan = node_sband_plan(self.stamps)
-            if on_tpu_f32 and nsplan is not None and (
+            if tpu_kernels and nsplan is not None and (
                     sband_fits_vmem(nsplan.n_pad, nsplan.W1, kbe + 1)
                     or sband_fits_stream(nsplan.n_pad, nsplan.W1, kbe + 1)):
                 # Narrow-band node block: the scalar LDLᵀ kernel solves
@@ -897,35 +937,39 @@ class BatchedSolver:
                          if sband_fits_vmem(nsplan.n_pad, nsplan.W1,
                                             kbe + 1)
                          else pallas_scalar_band_solve_stream_multi)
-                assemble = _schur_band_assembler(self.stamps, dtype, nsplan)
+                assemble = _schur_band_assembler(
+                    self.stamps, jnp.float32, nsplan)
                 solve_batch, solve_rhs_t = _make_schur_band_solver(
                     assemble, multi, nsplan, nk, kbe)
-                self._finalize(solve_batch, solve_rhs_t)
+                finalize_schur(solve_batch, solve_rhs_t)
                 return
 
             nplan = node_band_plan(self.stamps)
-            if on_tpu_f32 and nplan is not None and nplan.nb >= 2 \
+            if tpu_kernels and nplan is not None and nplan.nb >= 2 \
                     and (nplan.kb == 128 or nplan.n > 1024) \
                     and band_fits_stream(nplan.n_pad, nplan.kb):
                 # Bandable node block: one banded multi-RHS Thomas pass
                 # computes A⁻¹[B | bk] — O(nk·kb²) instead of the dense
                 # factorization.
-                assemble = _schur_band_assembler(self.stamps, dtype, nplan)
+                assemble = _schur_band_assembler(
+                    self.stamps, jnp.float32, nplan)
                 multi_solve = (pallas_band_solve_multi
                                if band_fits_vmem(nplan.n_pad, nplan.kb)
                                else pallas_band_solve_multi_stream)
                 solve_batch, solve_rhs_t = _make_schur_band_solver(
                     assemble, multi_solve, nplan, nk, kbe)
-                self._finalize(solve_batch, solve_rhs_t)
+                finalize_schur(solve_batch, solve_rhs_t)
                 return
 
-            if nplan is not None and nplan.nb >= 2 and nk > 2048:
-                # Large bandable node block off the TPU-f32 kernels (CPU
-                # backend, f64, or refine=True): the XLA scan block-Thomas
-                # multi-RHS.  Dense assembly would materialize an n² matrix
-                # per sample — 1.6 GB at nk=20k — so the band tier is the
-                # only viable one here; it is also what lets the banded
-                # SPD probe lift the old nk ≤ 8192 cap off-TPU.
+            if not on_tpu and nplan is not None and nplan.nb >= 2 \
+                    and nk > 2048:
+                # Large bandable node block off-TPU (the TPU f64/refine
+                # cases ride the f32 kernels + defect correction above):
+                # the XLA scan block-Thomas multi-RHS.  Dense assembly
+                # would materialize an n² matrix per sample — 1.6 GB at
+                # nk=20k — so the band tier is the only viable one here;
+                # it is also what lets the banded SPD probe lift the old
+                # nk ≤ 8192 cap off-TPU.
                 from nodal_tpu.ops.band import band_thomas_solve
 
                 sdtype = jnp.float64 if refine else dtype
@@ -937,9 +981,9 @@ class BatchedSolver:
                 self._finalize(solve_batch, solve_rhs_t)
                 return
 
-            use_pallas = on_tpu_f32 and lu_fits_vmem(nk)
+            use_pallas = tpu_kernels and lu_fits_vmem(nk)
             if use_pallas:
-                plan = _schur_block_assembler(self.stamps, dtype,
+                plan = _schur_block_assembler(self.stamps, jnp.float32,
                                               _pad(nk))
 
                 def schur_lu_core(params_batch, rhs=None, transpose=False):
@@ -970,14 +1014,20 @@ class BatchedSolver:
                         xk = yb - (YB @ xb[..., None])[..., 0]
                     return jnp.concatenate([xk, xb], axis=-1)
 
-                self._finalize(
+                finalize_schur(
                     schur_lu_core,
                     lambda pb, rhs: schur_lu_core(pb, rhs, transpose=True),
                 )
                 return
 
+            # Dense fallback: f32 assembly on TPU (f64/refine requests are
+            # served by the internal COO defect correction instead — an f64
+            # factorization would not compile there).
+            adtype = jnp.float32 if on_tpu else dtype
+            do_refine = refine or tpu_refined
+
             def single(params):
-                return assemble_dense(self.stamps, params, dtype=dtype)
+                return assemble_dense(self.stamps, params, dtype=adtype)
 
             stamps = self.stamps
 
@@ -990,7 +1040,7 @@ class BatchedSolver:
                 if rhs is not None:
                     b = rhs.astype(b.dtype)
                 x = block_lu.schur_solve(G, b, nk)
-                if refine:
+                if do_refine:
                     # f64 defect correction against the exact COO
                     # operator; the extra Schur solves are O(n²) next to
                     # the factorization.

@@ -96,6 +96,12 @@ def resistance_sensitivities(netlist: Netlist, a: str, b: str):
             if comp.type == "R"}
 
 
+#: Largest unbanded circuit the multi-probe path will solve densely; a
+#: single [n, n] f64 factorization is 2 GB at this bound.  Bigger
+#: circuits without a band plan take the per-pair preconditioned-CG path.
+_DENSE_MANY_MAX_N = 16384
+
+
 def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
     """Equivalent resistance for many probe pairs of one netlist at once.
 
@@ -170,6 +176,26 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
                 1.0, jnp.max(jnp.abs(W)) * jnp.max(jnp.abs(Xp))
             )
             X = plan.unpermute(Xp, rows_axis=-2)
+        elif n > _DENSE_MANY_MAX_N:
+            # No band plan at a size where a dense [n, n] factorization
+            # cannot be materialized (2 GB f64 already at n=16384): solve
+            # each probe pair with the preconditioned-CG stamps path
+            # instead of silently attempting the dense tier.
+            out = np.empty(k)
+            for j, (ra, rb) in enumerate(zip(rows_a, rows_b)):
+                try:
+                    out[j] = equivalent_resistance_stamps(
+                        stamps, int(ra), int(rb), dtype=dtype)
+                except RuntimeError as exc:
+                    from numpy.linalg import LinAlgError
+
+                    from nodal_tpu.netlist import (UnconnectedCircuitError,
+                                                   is_connected)
+
+                    if not is_connected(netlist):
+                        raise UnconnectedCircuitError from exc
+                    raise LinAlgError(str(exc)) from exc
+            return out
         else:
             from nodal_tpu.ops.assemble import assemble_dense
 
@@ -192,15 +218,28 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
         # inflate ||X|| and trip the tol spuriously, tiny ones could let a
         # bad solve pass.  Normalize by max(1, ||W||_max * ||X||_max).
         rmax = float(jnp.max(jnp.abs(resid)) / scale)
+        amplification = float(scale)
     tol = 1e-6 if jnp.dtype(dtype) == jnp.float64 else 3e-2
-    if not np.isfinite(rmax) or rmax > tol or not np.isfinite(Xn).all():
+    # Forward-amplification tripwire alongside the backward-error gate: a
+    # no-pivot solve of an exactly-singular system (floating probe
+    # component whose elimination pivot rounds to tiny-nonzero) returns a
+    # FINITE garbage X of size ~1/(eps·||W||) — tiny backward error, so
+    # the normalized gate alone would pass it silently.  Huge ||W||·||X||
+    # only triggers the (interpreter-cost) connectivity diagnosis; a
+    # connected netlist with a genuinely enormous R_eq passes through.
+    eps = float(jnp.finfo(jnp.dtype(dtype)).eps)
+    suspicious = (not np.isfinite(rmax) or rmax > tol
+                  or not np.isfinite(Xn).all()
+                  or amplification > 0.01 / eps)
+    if suspicious:
         from numpy.linalg import LinAlgError
 
         from nodal_tpu.netlist import UnconnectedCircuitError, is_connected
 
         if not is_connected(netlist):
             raise UnconnectedCircuitError
-        raise LinAlgError("Singular matrix")
+        if not np.isfinite(rmax) or rmax > tol or not np.isfinite(Xn).all():
+            raise LinAlgError("Singular matrix")
     ea = np.where(rows_a >= 0, Xn[np.maximum(rows_a, 0), np.arange(k)], 0.0)
     eb = np.where(rows_b >= 0, Xn[np.maximum(rows_b, 0), np.arange(k)], 0.0)
     return ea - eb

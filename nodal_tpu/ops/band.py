@@ -265,12 +265,16 @@ class BandPlan:
         return jnp.take(x, jnp.asarray(self.rank), axis=rows_axis)
 
 
-#: Plan nothing above this many unknowns: the Pallas band tiers cap at
-#: n·kb ≤ 4.2M (n ≤ 32768 at kb=128) and past ~64k the iterative/AMG
-#: paths beat an XLA-scan band solve outright, so running RCM + bandwidth
-#: analysis there is pure interpreter waste (round-2 advisor finding —
-#: auto-selection must stay cheap on very large netlists).
-_BAND_PLAN_MAX_N = 65536
+#: Plan nothing above this many unknowns.  Keeps auto-selection cheap on
+#: very large netlists (round-2 advisor finding) — RCM itself is scipy C
+#: code, but the scatter-target/gather-table construction is O(nnz) numpy
+#: per topology.  The bound must stay ABOVE any size the band tiers can
+#: actually serve: callers demote a None plan to dense/iterative paths,
+#: and an over-tight cap silently pushed 75k-node narrow meshes onto a
+#: [B, n, n] dense tier that cannot exist (round-3 review finding).  At
+#: 262144 unknowns band storage is ~400 MB/sample f32 — past that no
+#: direct batch tier is sensible and the stencil/AMG paths take over.
+_BAND_PLAN_MAX_N = 262144
 
 
 def make_band_plan(

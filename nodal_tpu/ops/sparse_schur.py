@@ -751,10 +751,17 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol):
     dependent) and shared across tolerances; compiled solvers are cached
     per tolerance.
     """
+    import hashlib
+
     from nodal_tpu.ops.amg import build_hierarchy, make_amg_preconditioner
 
-    fingerprint = (float(np.sum(a11_vals)), float(np.sum(a11_vals**2)),
-                   len(a11_vals))
+    # Exact-bytes fingerprint (same policy as _factorization's cache key):
+    # sum/sum-of-squares moments collide on permuted value vectors — e.g.
+    # swapping two resistor values — and a stale hit would silently solve
+    # the wrong A11 through the cached mv closure and AMG hierarchy.
+    fingerprint = hashlib.sha1(
+        np.ascontiguousarray(a11_vals, dtype=np.float64).tobytes()
+    ).hexdigest()
     cache = getattr(stamps, "_a11_cache", None)
     if cache is None or cache["fp"] != fingerprint:
         cache = {

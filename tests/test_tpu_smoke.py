@@ -324,3 +324,31 @@ def test_adjoint_gradient_through_band_kernel_mosaic():
         ])
     rel = np.max(np.abs(g - go)) / np.max(np.abs(go))
     assert rel < 5e-4, rel
+
+
+def test_refined_schur_on_tpu():
+    """refine=True (and dtype=f64) on a branch-equation circuit must ride
+    the f32 Schur band kernels + exact-COO f64 defect correction on TPU —
+    the direct f64 XLA-scan tier cannot lower there (no f64 LU), which a
+    round-3 review pass caught before it shipped."""
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.batch import BatchedSolver
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    rows = list(grid_rows(9, 40, (0, 0), (8, 39)))
+    rows.append(["e1", "E", "2", "1", "g"])
+    rows.append(["d1", "VCCS", "0.5", "n3_3", "g", "1", "g"])
+    circuit = Circuit(Netlist.from_rows(rows))
+
+    solver = BatchedSolver(circuit, refine=True)
+    assert solver.method == "schur"
+    batch = np.tile(circuit.stamps.params, (4, 1))
+    xs = solver(batch)
+    res = np.asarray(solver.residuals(batch, np.asarray(xs)))
+    assert np.max(res) < 1e-10, res  # refined: f64-level accuracy
+
+    solver64 = BatchedSolver(circuit, dtype=jnp.float64)
+    xs64 = solver64(np.tile(circuit.stamps.params, (2, 1)))
+    res64 = np.asarray(solver64.residuals(
+        np.tile(circuit.stamps.params, (2, 1)), np.asarray(xs64)))
+    assert np.max(res64) < 1e-10, res64
