@@ -30,6 +30,7 @@ the Jacobi start (see block_lu._inv_block).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -58,7 +59,34 @@ def _pad(n: int) -> int:
     return -(-n // _K) * _K
 
 
+#: Trace-time override for :func:`_interpret` — ``None`` defers to the
+#: session default backend.  Needed when a virtual-CPU mesh coexists with
+#: an initialized TPU default backend (driver dryruns): the shard_map'ed
+#: kernels must lower in interpret mode for the CPU devices even though
+#: ``jax.default_backend()`` says "tpu".
+_INTERPRET_FORCED: bool | None = None
+
+
+@contextlib.contextmanager
+def force_interpret(value: bool):
+    """Force (or forbid) pallas interpret mode for calls traced inside.
+
+    Caveat: the kernel entry points are ``jax.jit``-cached by shapes and
+    static args only — a signature already traced OUTSIDE this scope
+    replays its baked interpret flag (the unsafe direction fails loudly:
+    a non-interpret executable cannot run on CPU devices)."""
+    global _INTERPRET_FORCED
+    prev = _INTERPRET_FORCED
+    _INTERPRET_FORCED = value
+    try:
+        yield
+    finally:
+        _INTERPRET_FORCED = prev
+
+
 def _interpret() -> bool:
+    if _INTERPRET_FORCED is not None:
+        return _INTERPRET_FORCED
     return jax.default_backend() != "tpu"
 
 

@@ -47,7 +47,11 @@ def pcr_fits_vmem(n: int, itemsize: int = 4) -> bool:
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    # Shared helper (honors the force_interpret override used by the
+    # virtual-CPU mesh dryruns — see pallas_block_lu).
+    from nodal_tpu.ops.pallas_block_lu import _interpret as _shared
+
+    return _shared()
 
 
 def _x32_scope():

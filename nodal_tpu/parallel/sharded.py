@@ -63,9 +63,14 @@ def make_sharded_batch_solver(
     resistive = stamps.n == stamps.n_kcl
     plan = band_plan(stamps) if (resistive and not refine) else None
     f32 = jnp.dtype(dtype) == jnp.float32
+    # Key on the MESH's device platform, not jax.default_backend(): a
+    # virtual-CPU dryrun mesh can coexist with an initialized remote-TPU
+    # default backend (the driver may compile-check entry() first), and
+    # kernels picked for the session default would lower non-interpret
+    # pallas calls onto the CPU mesh devices.
+    mesh_platform = next(iter(mesh.devices.flat)).platform
     use_pallas = pallas == "on" or (
-        pallas == "auto" and f32 and not refine
-        and jax.default_backend() == "tpu"
+        pallas == "auto" and f32 and not refine and mesh_platform == "tpu"
     )
 
     local_pallas = None
@@ -78,15 +83,28 @@ def make_sharded_batch_solver(
         # (not GSPMD) because pallas_call lowers to an opaque custom call
         # the SPMD partitioner cannot split; the batch axis is embarrassingly
         # parallel so the wrapper introduces no collectives at all.
+        from nodal_tpu.ops.pallas_block_lu import force_interpret
+
+        # On a non-TPU mesh (pallas="on" dryruns/tests) the kernels must
+        # lower in interpret mode even when an initialized TPU backend is
+        # the session default; the scope executes at trace time.
+        interp = mesh_platform != "tpu"
+
+        def local_call(*a):
+            if interp:
+                with force_interpret(True):
+                    return local_pallas(*a)
+            return local_pallas(*a)
+
         spec = P(("dp", "sp"), None)
         solve_batch = shard_map(
-            lambda pb: local_pallas(pb), mesh=mesh,
+            lambda pb: local_call(pb), mesh=mesh,
             in_specs=spec, out_specs=spec, check_vma=False,
         )
         # Adjoint pass: the same per-device kernel against the sharded
         # cotangent (resistive ⇒ symmetric operator).
         solve_rhs_t = shard_map(
-            lambda pb, rhs: local_pallas(pb, rhs), mesh=mesh,
+            lambda pb, rhs: local_call(pb, rhs), mesh=mesh,
             in_specs=(spec, spec), out_specs=spec, check_vma=False,
         )
     elif resistive and not refine and bandwidth(stamps) <= 1:
