@@ -593,6 +593,18 @@ class BatchedSolver:
                 # magnitude on the MXU.
                 method = "schur"
             else:
+                if self.stamps.n > _DENSE_BATCH_MAX_N:
+                    # Same loud-failure rule as the resistive branch above:
+                    # a large non-resistive circuit whose SPD probe failed
+                    # (n_kcl < 256 or a non-SPD node block) must not
+                    # silently materialize [B, n, n] dense systems.
+                    raise ValueError(
+                        f"circuit needs the dense batch tier but n="
+                        f"{self.stamps.n} exceeds its bound "
+                        f"(n <= {_DENSE_BATCH_MAX_N}); use Circuit.solve "
+                        "with sparse=True (bordered elimination) for "
+                        "one-shot solves of large general circuits"
+                    )
                 method = "dense"
         elif method in ("tridiag", "sband", "band", "block") \
                 and not resistive:
@@ -961,17 +973,29 @@ class BatchedSolver:
                 finalize_schur(solve_batch, solve_rhs_t)
                 return
 
-            if not on_tpu and nplan is not None and nplan.nb >= 2 \
-                    and nk > 2048:
-                # Large bandable node block off-TPU (the TPU f64/refine
-                # cases ride the f32 kernels + defect correction above):
-                # the XLA scan block-Thomas multi-RHS.  Dense assembly
-                # would materialize an n² matrix per sample — 1.6 GB at
-                # nk=20k — so the band tier is the only viable one here;
-                # it is also what lets the banded SPD probe lift the old
-                # nk ≤ 8192 cap off-TPU.
+            if nplan is not None and nplan.nb >= 2 and nk > 2048:
+                # Large bandable node block where the VMEM multi-RHS
+                # kernels do not apply (always off-TPU; on TPU every
+                # arrival here means the Pallas tiers above declined —
+                # border past their 128-RHS lane budget, or past the
+                # stream caps): the XLA scan block-Thomas multi-RHS.
+                # Dense assembly would materialize an n² matrix per
+                # sample — 1.6 GB at nk=20k — so the band tier is the
+                # only viable one here; it is also what lets the banded
+                # SPD probe lift the old nk ≤ 8192 cap.
                 from nodal_tpu.ops.band import band_thomas_solve
 
+                if on_tpu:
+                    # f32 scan tier (compiles fine on TPU); f64/refine
+                    # requests ride finalize_schur's exact-COO f64 defect
+                    # correction like every other TPU schur tier — a
+                    # direct f64 scan would crawl on emulated arithmetic.
+                    assemble = _schur_band_assembler(
+                        self.stamps, jnp.float32, nplan)
+                    solve_batch, solve_rhs_t = _make_schur_band_solver(
+                        assemble, band_thomas_solve, nplan, nk, kbe)
+                    finalize_schur(solve_batch, solve_rhs_t)
+                    return
                 sdtype = jnp.float64 if refine else dtype
                 assemble = _schur_band_assembler(self.stamps, sdtype, nplan)
                 # refine=True computes in f64 and returns f64, matching

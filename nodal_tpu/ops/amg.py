@@ -62,9 +62,25 @@ class _Level:
     n_coarse: int
 
 
+#: Above this many vertices aggregation runs the vectorized rounds;
+#: below it the O(n)-Python greedy loop is faster and keeps the exact
+#: historical aggregates (its per-vertex cost only matters at scale —
+#: measured 0.46 s at 40k / 1.16 s at 100k vertices, the dominant AMG
+#: setup cost and squarely on the cold-solve critical path).
+_VECTORIZED_AGG_N = 4096
+
+
 def _aggregate(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     """Greedy neighborhood aggregation: each seed swallows its unassigned
-    neighbors; leftovers join a neighboring aggregate."""
+    neighbors; leftovers join a neighboring aggregate.
+
+    Large graphs take the vectorized randomized-MIS rounds
+    (:func:`_aggregate_vectorized`) — same aggregate-quality class
+    (seed + its free neighbors), O(nnz) numpy work per round and
+    O(log n) expected rounds instead of a Python loop over vertices.
+    """
+    if n > _VECTORIZED_AGG_N:
+        return _aggregate_vectorized(n, rows, cols)
     neighbors_start, neighbors = _adjacency(n, rows, cols)
     agg = np.full(n, -1, dtype=np.int32)
     next_agg = 0
@@ -79,6 +95,65 @@ def _aggregate(n: int, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
         free = nbrs[agg[nbrs] < 0]
         agg[free] = next_agg
         next_agg += 1
+    return agg
+
+
+def _aggregate_vectorized(n: int, rows: np.ndarray,
+                          cols: np.ndarray) -> np.ndarray:
+    """Vectorized aggregation: rounds of randomized-priority maximal
+    independent seeding (Luby-style), each seed swallowing its unassigned
+    neighbors; orphans (unassigned vertices whose whole neighborhood got
+    assigned) join a neighbor's aggregate, mirroring the greedy loop.
+
+    Deterministic (fixed permutation seed).  Each round is O(nnz) numpy
+    ``minimum.at`` work; expected O(log n) rounds.
+    """
+    off = rows != cols
+    r = rows[off].astype(np.int64)
+    c = cols[off].astype(np.int64)
+
+    agg = np.full(n, -1, dtype=np.int32)
+    pri = np.random.default_rng(0).permutation(n).astype(np.int64)
+    INF = np.iinfo(np.int64).max
+    next_agg = 0
+    for _ in range(256):  # far above the expected O(log n) rounds
+        un = agg < 0
+        if not un.any():
+            break
+        active = un[r]
+        # Orphans first (greedy parity): unassigned vertices with
+        # neighbors but none unassigned join the aggregate of their
+        # min-index assigned neighbor.
+        nbr_assigned_min = np.full(n, INF, np.int64)
+        sel = active & ~un[c]
+        np.minimum.at(nbr_assigned_min, r[sel], c[sel])
+        nbr_un_min_pri = np.full(n, INF, np.int64)
+        sel = active & un[c]
+        np.minimum.at(nbr_un_min_pri, r[sel], pri[c[sel]])
+        orphan = un & (nbr_un_min_pri == INF) & (nbr_assigned_min < INF)
+        if orphan.any():
+            agg[orphan] = agg[nbr_assigned_min[orphan]]
+            un = agg < 0
+            if not un.any():
+                break
+        # Seeds: unassigned vertices beating every unassigned neighbor's
+        # priority (isolated/all-assigned-neighbor vertices seed too).
+        seed = un & (pri < nbr_un_min_pri)
+        ids = (np.cumsum(seed) - 1 + next_agg).astype(np.int32)
+        agg[seed] = ids[seed]
+        next_agg += int(seed.sum())
+        # Unassigned non-seeds adjacent to a seed join their best
+        # (min-priority) seed neighbor.  Encode (priority, vertex) in one
+        # int64 key so minimum.at doubles as argmin.
+        un2 = agg < 0
+        sel = un2[r] & seed[c]
+        best = np.full(n, INF, np.int64)
+        np.minimum.at(best, r[sel], pri[c[sel]] * n + c[sel])
+        join = un2 & (best < INF)
+        agg[join] = agg[best[join] % n]
+    else:  # pragma: no cover - safety net
+        un = agg < 0
+        agg[un] = next_agg + np.arange(int(un.sum()), dtype=np.int32)
     return agg
 
 
@@ -156,10 +231,20 @@ def build_hierarchy(n, rows, cols, vals, *,
     return levels
 
 
-def make_amg_preconditioner(levels: list[_Level], dtype):
-    """Device-side V(1,1) application closure for the host hierarchy."""
+def hierarchy_arrays(levels: list[_Level], dtype):
+    """Split the host hierarchy into ``(arrays, meta)`` for jit-argument
+    passing.
 
-    dev = [
+    ``arrays`` is a pytree (tuple of per-level dicts of jnp arrays) meant to
+    be a *traced argument* of a jitted program; ``meta`` is the static shape
+    info (``(n, n_coarse)`` per level, hashable).  Passing the hierarchy as
+    arguments instead of closure constants matters twice over: XLA
+    constant-folds large embedded scatter/gather constants at compile time
+    (measured: multi-second folds of a 40k-row segment_sum during the
+    bordered-elimination compile), and argument-passed buffers can be
+    ``device_put`` once and reused across dispatches with zero re-transfer.
+    """
+    arrays = tuple(
         {
             "rows": jnp.asarray(lv.rows),
             "cols": jnp.asarray(lv.cols),
@@ -173,52 +258,70 @@ def make_amg_preconditioner(levels: list[_Level], dtype):
             "p_cols": None if lv.p_cols is None else jnp.asarray(lv.p_cols),
             "p_vals": (None if lv.p_vals is None
                        else jnp.asarray(lv.p_vals, dtype=dtype)),
-            "n": lv.n,
-            "nc": lv.n_coarse,
         }
         for lv in levels
-    ]
+    )
+    meta = tuple((lv.n, lv.n_coarse) for lv in levels)
+    return arrays, meta
 
-    def matvec(lv, x):
+
+def make_vcycle(arrays, meta):
+    """V(1,1)-cycle closure over hierarchy ``arrays`` (traced or concrete)
+    with static ``meta`` shapes — the jit-argument-friendly form of
+    :func:`make_amg_preconditioner`."""
+
+    def matvec(lv, n, x):
         prods = lv["vals"] * x[lv["cols"]]
         return jax.ops.segment_sum(
-            prods, lv["rows"], num_segments=lv["n"], indices_are_sorted=True
+            prods, lv["rows"], num_segments=n, indices_are_sorted=True
         )
 
-    def smooth(lv, x, r):
-        return x + _JACOBI_OMEGA * lv["dinv"] * (r - matvec(lv, x))
+    def smooth(lv, n, x, r):
+        return x + _JACOBI_OMEGA * lv["dinv"] * (r - matvec(lv, n, x))
 
-    def restrict(lv, res):
+    def restrict(lv, nc, res):
         # P^T res: scatter fine contributions into coarse slots.
         prods = lv["p_vals"] * res[lv["p_rows"]]
-        return jax.ops.segment_sum(prods, lv["p_cols"],
-                                   num_segments=lv["nc"])
+        return jax.ops.segment_sum(prods, lv["p_cols"], num_segments=nc)
 
-    def prolong(lv, xc):
+    def prolong(lv, n, xc):
         # P xc: gather coarse values, weight, sum per fine row (sorted).
         prods = lv["p_vals"] * xc[lv["p_cols"]]
         return jax.ops.segment_sum(
-            prods, lv["p_rows"], num_segments=lv["n"],
-            indices_are_sorted=True,
+            prods, lv["p_rows"], num_segments=n, indices_are_sorted=True
         )
 
     def vcycle(r, i):
-        lv = dev[i]
+        lv = arrays[i]
+        n, nc = meta[i]
         if lv["p_rows"] is None:
             x = jnp.zeros_like(r)
             for _ in range(2):
-                x = smooth(lv, x, r)
+                x = smooth(lv, n, x, r)
 
             def body(_, x):
-                return smooth(lv, x, r)
+                return smooth(lv, n, x, r)
 
             return jax.lax.fori_loop(0, _COARSE_SWEEPS, body, x)
         x = _JACOBI_OMEGA * lv["dinv"] * r  # one sweep from zero
-        res = r - matvec(lv, x)
-        x = x + prolong(lv, vcycle(restrict(lv, res), i + 1))
-        return smooth(lv, x, r)
+        res = r - matvec(lv, n, x)
+        x = x + prolong(lv, n, vcycle(restrict(lv, nc, res), i + 1))
+        return smooth(lv, n, x, r)
 
     def M(r):
         return vcycle(r, 0)
 
     return M
+
+
+def make_amg_preconditioner(levels: list[_Level], dtype):
+    """Device-side V(1,1) application closure for the host hierarchy.
+
+    The hierarchy arrays are closure constants here — fine for programs
+    compiled once per (topology, values) like Circuit.solve's CG.  Paths
+    that recompile per parameter vector or dispatch repeatedly should use
+    :func:`hierarchy_arrays` + :func:`make_vcycle` and pass the arrays as
+    jit arguments instead.
+    """
+    arrays, meta = hierarchy_arrays(levels, dtype)
+    return make_vcycle(arrays, meta)

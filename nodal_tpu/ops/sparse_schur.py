@@ -32,15 +32,26 @@ Solve: AMG-preconditioned CG on A11 for the m+1 right-hand sides
 [A12 | b1], a pivoted dense f64 factorization of the Schur complement S,
 back-substitution, then full-system f64-residual refinement that *reuses*
 both factorizations (each pass costs one CG solve + one dense
-back-substitution).  Everything runs in native f64 on the host CPU backend
-— this is the one-shot robust-solve role SuperLU plays for the reference,
-not a throughput path (those are nodal_tpu.batch / ops.band); TPU f64 is
-emulated and sustained f64 Krylov has crashed the worker (NOTES.md).
+back-substitution).
+
+Backends: when the session has an accelerator, the CG solves run on it in
+f32 (the framework's standard fast-tier precision — TPU f64 is emulated
+and sustained f64 Krylov has crashed the worker, NOTES.md) and the outer
+defect correction against the exact host-f64 COO residual restores
+direct-solver accuracy, contracting by ~cg_tol per pass.  The host CPU
+f64 tier remains as the exact fallback (CPU-only sessions; circuits whose
+conditioning defeats the f32 CG).  All CG programs take the operator and
+the whole AMG hierarchy as ARGUMENTS, not closure constants — embedded
+large constants made XLA constant-fold 40k-row scatters at compile time
+and cost ~18 s of compiles per topology (round-3); as arguments the
+buffers are device-resident across dispatches and the programs are
+data-independent.
 """
 
 from __future__ import annotations
 
 import contextlib
+import functools
 import logging
 from dataclasses import dataclass
 
@@ -272,24 +283,26 @@ def _value_blocks(stamps: StampTensors, plan: GeneralPlan, g_vals):
 
 
 def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
-                   cg_tol: float):
+                   cg_tol: float, backend: str = "cpu"):
     """b-independent block factorization at ``cg_tol``: ``((solve_cols,
     YB, lu, piv), iters)``, or ``(None, iters)`` when CG stalled building
     YB.
 
-    Cached on the stamps object keyed by (stamp-values digest, tol):
-    YB = A11⁻¹A12 is m CG solves — the dominant cost — while each *solve*
-    with the factorization needs only one CG pass for its own RHS, so
-    repeat solves on the same parameter values (the reference's SuperLU
-    refactors every time) drop from ~m+1 CG solves to ~1 + refinement.
-    The same factorization serves the TRANSPOSED system (adjoint solves):
-    A11 is symmetric, so only the Schur border needs ``trans=1``.
+    Cached on the stamps object keyed by (stamp-values digest, tol,
+    backend): YB = A11⁻¹A12 is m CG solves — the dominant cost — while
+    each *solve* with the factorization needs only one CG pass for its own
+    RHS, so repeat solves on the same parameter values (the reference's
+    SuperLU refactors every time) drop from ~m+1 CG solves to
+    ~1 + refinement.  The same factorization serves the TRANSPOSED system
+    (adjoint solves): A11 is symmetric, so only the Schur border needs
+    ``trans=1``.
     """
     import hashlib
 
     import scipy.linalg as sla
 
-    key = (hashlib.sha1(g_vals.tobytes()).hexdigest(), float(cg_tol))
+    key = (hashlib.sha1(g_vals.tobytes()).hexdigest(), float(cg_tol),
+           backend)
     cache = getattr(stamps, "_general_fact", None)
     if cache is not None and cache.get("key") == key:
         return cache["fact"], 0
@@ -300,17 +313,18 @@ def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
     iters = 0
 
     if n1 > 0:
-        solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol)
+        solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol, backend)
         R = np.zeros((m, n1))
         np.add.at(R, (a12[1], a12[0]), a12[2])
         YB = np.empty_like(R)  # rows j = A11^-1 A12[:, j]
         ok = True
         for lo in range(0, m, _RHS_CHUNK):
             hi = min(lo + _RHS_CHUNK, m)
-            # Pass host numpy: solve_cols commits its inputs to the
-            # CPU device itself.  A jnp.asarray here would place the
-            # batch on the session default accelerator and drag the
-            # whole vmapped CG onto the (emulated-f64, remote-compile)
+            # Pass host numpy: solve_cols device_puts its inputs onto its
+            # own backend's device (accel tier: f32 on the chip; cpu
+            # tier: f64 on the host).  A jnp.asarray here would place the
+            # batch on the session default device and could drag a CPU
+            # tier's vmapped CG onto the (emulated-f64, remote-compile)
             # TPU path — measured 309 s vs 2.5 s for one such solve.
             xs, infos = solve_cols(R[lo:hi])
             YB[lo:hi] = np.asarray(xs)
@@ -426,11 +440,12 @@ def solve_general_sparse(
             np.add.at(y, gr, g_vals * x[gc])
         return b - y
 
-    def attempt(cg_tol):
+    def attempt(cg_tol, backend="cpu"):
         """Solve with the (cached) factorization at ``cg_tol`` and refine.
         Returns ``(x, rel, stalled)``; ``x`` is None when CG stalled."""
         nonlocal total_iters
-        fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol)
+        fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol,
+                                       backend)
         total_iters += f_iters
         if fact is None:
             return None, np.inf, False
@@ -498,17 +513,39 @@ def solve_general_sparse(
         return x, float(np.max(np.abs(r))) / b_scale, True
 
     cg_tol = min(max(setup_tol, tol), 1e-3)
-    x, rel, stalled = attempt(cg_tol)
-    if x is not None and stalled and rel > tol and cg_tol > tol * 10:
-        # Sloppy factorization could not carry refinement to tol — rebuild
-        # at the target tolerance (the exact path).
-        logger.info(
-            "bordered elimination: refinement stalled at %.2e with "
-            "setup_tol=%.0e; rebuilding at %.0e", rel, cg_tol, tol,
-        )
-        x2_, rel2, _ = attempt(tol)
-        if x2_ is not None and (rel2 < rel or not np.isfinite(rel)):
+    # Backend chain: the accelerator (TPU f32 CG + exact-f64 outer defect
+    # correction) first when one exists — the m+1 YB/b1 solves are the
+    # batched work the chip is for — with the host f64 path as the exact
+    # fallback whenever the f32 tier cannot carry refinement to tol
+    # (severely ill-conditioned A11, f32 CG plateau).
+    method = "schur"
+    x, rel = None, np.inf
+    if _try_accel(stamps, g_vals):
+        x, rel, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
+                                   "accel")
+        if x is not None and np.isfinite(rel) and rel <= tol:
+            method = "schur-tpu"
+        else:
+            _mark_accel_failed(stamps, g_vals)
+            logger.info(
+                "bordered elimination: accelerator tier reached %.2e "
+                "(target %.0e); rebuilding on the host f64 path", rel, tol,
+            )
+    if x is None or not (np.isfinite(rel) and rel <= tol):
+        x2_, rel2, stalled = attempt(cg_tol)
+        if x2_ is not None and (x is None or rel2 < rel
+                                or not np.isfinite(rel)):
             x, rel = x2_, rel2
+        if x2_ is not None and stalled and rel > tol and cg_tol > tol * 10:
+            # Sloppy factorization could not carry refinement to tol —
+            # rebuild at the target tolerance (the exact path).
+            logger.info(
+                "bordered elimination: refinement stalled at %.2e with "
+                "setup_tol=%.0e; rebuilding at %.0e", rel, cg_tol, tol,
+            )
+            x2_, rel2, _ = attempt(tol)
+            if x2_ is not None and (rel2 < rel or not np.isfinite(rel)):
+                x, rel = x2_, rel2
     if x is None:
         return np.full(stamps.n, np.nan), GeneralSolveInfo(
             residual=np.float64(np.inf),
@@ -521,7 +558,7 @@ def solve_general_sparse(
         residual=np.float64(rel),
         iterations=np.int64(total_iters),
         converged=np.bool_(bool(np.isfinite(rel) and rel <= tol)),
-        method="schur",
+        method=method,
     )
 
 
@@ -584,9 +621,10 @@ def solve_general_sparse_transpose(
             np.add.at(z, gc, g_vals * y[gr])  # Gᵀ y
         return c - z
 
-    def attempt(cg_tol):
+    def attempt(cg_tol, backend="cpu"):
         nonlocal total_iters
-        fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol)
+        fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol,
+                                       backend)
         total_iters += f_iters
         if fact is None:
             return None, np.inf, False
@@ -659,15 +697,37 @@ def solve_general_sparse_transpose(
         return y, float(np.max(np.abs(r))) / c_scale, True
 
     cg_tol = min(max(setup_tol, tol), 1e-3)
-    y, rel, stalled = attempt(cg_tol)
-    if y is not None and stalled and rel > tol and cg_tol > tol * 10:
-        logger.info(
-            "bordered elimination (transpose): refinement stalled at %.2e "
-            "with setup_tol=%.0e; rebuilding at %.0e", rel, cg_tol, tol,
-        )
-        y2_, rel2, _ = attempt(tol)
-        if y2_ is not None and (rel2 < rel or not np.isfinite(rel)):
+    # Same backend chain as the forward solve: accelerator f32 tier first
+    # (shares the forward factorization cache — A11 is symmetric), host
+    # f64 rebuild when it cannot reach tol.
+    method = "schur-T"
+    y, rel = None, np.inf
+    if _try_accel(stamps, g_vals):
+        y, rel, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
+                                   "accel")
+        if y is not None and np.isfinite(rel) and rel <= tol:
+            method = "schur-T-tpu"
+        else:
+            _mark_accel_failed(stamps, g_vals)
+            logger.info(
+                "bordered elimination (transpose): accelerator tier "
+                "reached %.2e (target %.0e); rebuilding on the host f64 "
+                "path", rel, tol,
+            )
+    if y is None or not (np.isfinite(rel) and rel <= tol):
+        y2_, rel2, stalled = attempt(cg_tol)
+        if y2_ is not None and (y is None or rel2 < rel
+                                or not np.isfinite(rel)):
             y, rel = y2_, rel2
+        if y2_ is not None and stalled and rel > tol and cg_tol > tol * 10:
+            logger.info(
+                "bordered elimination (transpose): refinement stalled at "
+                "%.2e with setup_tol=%.0e; rebuilding at %.0e",
+                rel, cg_tol, tol,
+            )
+            y2_, rel2, _ = attempt(tol)
+            if y2_ is not None and (rel2 < rel or not np.isfinite(rel)):
+                y, rel = y2_, rel2
     if y is None:
         return np.full(stamps.n, np.nan), GeneralSolveInfo(
             residual=np.float64(np.inf),
@@ -679,7 +739,7 @@ def solve_general_sparse_transpose(
         residual=np.float64(rel),
         iterations=np.int64(total_iters),
         converged=np.bool_(bool(np.isfinite(rel) and rel <= tol)),
-        method="schur-T",
+        method=method,
     )
 
 
@@ -742,18 +802,99 @@ def general_sparse_adjoint_gradient(
     return pbar, x, info_f, info_a
 
 
-def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol):
+#: f32 CG cannot meaningfully converge below ~1e-6 relative residual; the
+#: accelerator tier floors its CG tolerance here and leaves the rest to
+#: the outer f64 defect correction (which contracts by ~cg_tol per pass).
+_ACCEL_CG_TOL_FLOOR = 1e-5
+
+#: Iteration cap for the accelerator (f32) CG tier: AMG-CG on these SPD
+#: blocks converges in tens of iterations; a plateau past this means the
+#: f32 tier cannot serve this system and the CPU f64 path takes over.
+_ACCEL_MAXITER = 400
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "n1", "tol", "maxiter"))
+def _multi_cg_program(B, rows, cols, vals, amg, *, meta, n1, tol, maxiter):
+    """One compiled program: vmapped AMG-preconditioned CG over RHS columns.
+
+    Every array — the deduped A11 COO triple and the whole AMG hierarchy —
+    is a traced ARGUMENT, not a closure constant: embedded large constants
+    make XLA constant-fold 40k-row scatters at compile time (measured
+    multi-second folds per program and ~18 s of compile across widths at
+    40k nodes) and force a re-transfer per topology.  As arguments they
+    are ``device_put`` once and the compile is data-independent.
+    """
+    from nodal_tpu.ops.amg import make_vcycle
+
+    M = make_vcycle(amg, meta)
+
+    def mv(x):
+        return jax.ops.segment_sum(
+            vals * x[cols], rows, num_segments=n1, indices_are_sorted=True
+        )
+
+    def one(bcol):
+        return cg(mv, bcol, preconditioner=M, tol=tol, maxiter=maxiter)
+
+    return jax.vmap(one)(B)
+
+
+def _accel_device_or_none():
+    """The non-CPU default-backend device, or None (CPU-only session or
+    ``NODAL_TPU_SPARSE_ACCEL=0``)."""
+    import os
+
+    if os.environ.get("NODAL_TPU_SPARSE_ACCEL", "1") == "0":
+        return None
+    try:
+        dev = jax.devices()[0]
+    except RuntimeError:  # pragma: no cover - no backend at all
+        return None
+    return dev if dev.platform != "cpu" else None
+
+
+def _try_accel(stamps: StampTensors, g_vals) -> bool:
+    """Should this solve try the accelerator tier?  False when no
+    accelerator exists or the tier already failed for these exact values
+    (warm solves must not re-pay a doomed f32 factorization every call)."""
+    if _accel_device_or_none() is None:
+        return False
+    import hashlib
+
+    digest = hashlib.sha1(g_vals.tobytes()).hexdigest()
+    return getattr(stamps, "_accel_schur_failed", None) != digest
+
+
+def _mark_accel_failed(stamps: StampTensors, g_vals) -> None:
+    import hashlib
+
+    stamps._accel_schur_failed = (  # type: ignore[attr-defined]
+        hashlib.sha1(g_vals.tobytes()).hexdigest())
+
+
+def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
+                backend: str = "cpu"):
     """Compiled vmapped AMG-CG solver for the SPD grounded node block.
 
     Returns ``solve_cols`` mapping a [c, n1] f64 right-hand-side batch to
     ``(xs [c, n1], SolveInfo arrays)``.  The AMG hierarchy is cached on the
     stamps object per parameter-values fingerprint (setup is value-
-    dependent) and shared across tolerances; compiled solvers are cached
-    per tolerance.
+    dependent) and shared across tolerances and backends; device-resident
+    operands and solver closures are cached per (tolerance, backend).
+
+    ``backend``: ``"cpu"`` — native f64 on the host (the exact tier);
+    ``"accel"`` — f32 on the session's accelerator (TPU): the m+1 YB/b1
+    right-hand sides are exactly the batched work the chip is for, and the
+    outer exact-f64 defect correction in :func:`solve_general_sparse`
+    restores direct-solver accuracy (the framework's standard
+    f32-kernel + f64-refinement pattern).  Sustained f64 Krylov on TPU is
+    emulated and has crashed the worker (NOTES.md) — the accel tier is
+    f32 by construction.
     """
     import hashlib
 
-    from nodal_tpu.ops.amg import build_hierarchy, make_amg_preconditioner
+    from nodal_tpu.ops.amg import build_hierarchy, hierarchy_arrays
 
     # Exact-bytes fingerprint (same policy as _factorization's cache key):
     # sum/sum-of-squares moments collide on permuted value vectors — e.g.
@@ -769,52 +910,68 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol):
             "levels": build_hierarchy(plan.n1, plan.a11_rows, plan.a11_cols,
                                       a11_vals),
             "solvers": {},
+            "operands": {},
         }
         stamps._a11_cache = cache  # type: ignore[attr-defined]
-    key = float(tol)
+    key = (float(tol), backend)
     hit = cache["solvers"].get(key)
     if hit is not None:
         return hit
 
-    with _cpu_scope(), jax.enable_x64(True):
-        M = make_amg_preconditioner(cache["levels"], jnp.float64)
-        rows = jnp.asarray(plan.a11_rows)
-        cols = jnp.asarray(plan.a11_cols)
-        vals = jnp.asarray(a11_vals)
-        n1 = plan.n1
+    accel = _accel_device_or_none() if backend == "accel" else None
+    if backend == "accel" and accel is None:
+        raise RuntimeError("no accelerator backend available")
+    n1 = plan.n1
 
-        def mv(x):
-            return jax.ops.segment_sum(
-                vals * x[cols], rows, num_segments=n1,
-                indices_are_sorted=True,
+    operands = cache["operands"].get(backend)
+    if operands is None:
+        if backend == "accel":
+            dev, dtype = accel, jnp.float32
+        else:
+            dev, dtype = jax.devices("cpu")[0], jnp.float64
+        with jax.enable_x64(True):  # keep i32/f64 splits exact
+            amg, meta = hierarchy_arrays(cache["levels"], dtype)
+            operands = (
+                jax.device_put(jnp.asarray(plan.a11_rows), dev),
+                jax.device_put(jnp.asarray(plan.a11_cols), dev),
+                jax.device_put(jnp.asarray(a11_vals, dtype=dtype), dev),
+                jax.device_put(amg, dev),
+                meta,
+                dev,
+                dtype,
             )
+        cache["operands"][backend] = operands
+    rows, cols, vals, amg, meta, dev, dtype = operands
 
+    if backend == "accel":
+        maxiter = _ACCEL_MAXITER
+        cg_tol = max(float(tol), _ACCEL_CG_TOL_FLOOR)
+    else:
         maxiter = min(4 * n1 + 100, 100_000)
+        cg_tol = float(tol)
 
-        def one(bcol):
-            return cg(mv, bcol, preconditioner=M, tol=tol, maxiter=maxiter)
-
-        inner = jax.jit(jax.vmap(one))
-
-        def solve_cols(B):
-            # Pad the batch to a fixed set of widths so every chunk of a
-            # multi-RHS sweep (and the 1-wide refinement solves) reuses one
-            # compiled program: each distinct batch width is otherwise a
-            # fresh XLA compile of the whole vmapped CG+AMG loop (~5 s at
-            # 100k unknowns).  Zero columns converge in 0 iterations.
-            B = np.asarray(B, dtype=np.float64)
-            c = B.shape[0]
-            width = 1
-            while width < c:
-                width *= 2
-            width = min(width, _RHS_CHUNK)
-            if c < width:
-                B = np.concatenate(
-                    [B, np.zeros((width - c,) + B.shape[1:])], axis=0
-                )
-            with _cpu_scope(), jax.enable_x64(True):
-                xs, infos = inner(jnp.asarray(B))
-            return xs[:c], jax.tree.map(lambda a: a[:c], infos)
+    def solve_cols(B):
+        # Pad the batch to width 1 or _RHS_CHUNK so every chunk of a
+        # multi-RHS sweep and the 1-wide refinement solves share exactly
+        # TWO compiled programs (power-of-two padding compiled SIX — the
+        # dominant cold cost at 40k nodes before arrays became arguments).
+        # Zero columns converge in 0 iterations.
+        B = np.asarray(B, dtype=np.float64)
+        c = B.shape[0]
+        width = 1 if c == 1 else _RHS_CHUNK
+        if c < width:
+            B = np.concatenate(
+                [B, np.zeros((width - c,) + B.shape[1:])], axis=0
+            )
+        with jax.enable_x64(True):
+            Bdev = jax.device_put(jnp.asarray(B, dtype=dtype), dev)
+            xs, infos = _multi_cg_program(
+                Bdev, rows, cols, vals, amg,
+                meta=meta, n1=n1, tol=cg_tol, maxiter=maxiter,
+            )
+        if c == width:  # skip no-op slices (each is an eager-op compile)
+            return xs, infos
+        return xs[:c], jax.tree.map(lambda a: a[:c], infos)
 
     cache["solvers"][key] = solve_cols
     return solve_cols

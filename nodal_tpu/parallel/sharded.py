@@ -85,16 +85,20 @@ def make_sharded_batch_solver(
         # parallel so the wrapper introduces no collectives at all.
         from nodal_tpu.ops.pallas_block_lu import force_interpret
 
-        # On a non-TPU mesh (pallas="on" dryruns/tests) the kernels must
-        # lower in interpret mode even when an initialized TPU backend is
-        # the session default; the scope executes at trace time.
+        # Pin interpret mode to the MESH's platform in both directions: a
+        # non-TPU mesh (pallas="on" dryruns/tests) must lower in interpret
+        # mode even when an initialized TPU backend is the session default,
+        # and a TPU mesh must lower real Mosaic kernels even when the
+        # session default backend is CPU (the mirror scenario) — without
+        # the False pin, _interpret() would fall back to
+        # jax.default_backend() and silently run interpret-mode kernels on
+        # the TPU devices, defeating pallas="on"/"auto".  The scope
+        # executes at trace time.
         interp = mesh_platform != "tpu"
 
         def local_call(*a):
-            if interp:
-                with force_interpret(True):
-                    return local_pallas(*a)
-            return local_pallas(*a)
+            with force_interpret(interp):
+                return local_pallas(*a)
 
         spec = P(("dp", "sp"), None)
         solve_batch = shard_map(

@@ -6,6 +6,7 @@ multi-probe large-n CG fallback, the singular-but-finite equiv tripwire,
 and the bench module's import side effect.
 """
 
+import pathlib
 import subprocess
 import sys
 
@@ -176,7 +177,8 @@ def test_import_bench_has_no_side_effects():
     """`import bench` must not re-exec the importing process (the re-exec
     exists to set XLA log env vars before jax loads — script runs only)."""
     code = "import bench; print('imported-ok')"
+    repo_root = pathlib.Path(__file__).resolve().parents[1]
     res = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                         text=True, timeout=600, cwd=".")
+                         text=True, timeout=600, cwd=repo_root)
     assert res.returncode == 0, res.stderr
     assert "imported-ok" in res.stdout
