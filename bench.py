@@ -35,11 +35,86 @@ if (__name__ == "__main__"
     os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
+import math
+
 import numpy as np
 
 # Reference baseline: dense repeat solve on 1k-unknown ladder, measured on
 # the session CPU (BASELINE.md): 27.6 ms/solve.
 BASELINE_SOLVES_PER_SEC = 36.2
+
+# Roofline context (round-3 review item #5): single-chip peaks used to
+# convert solves/s into achieved TFLOP/s / GB/s and %-of-peak.  Defaults
+# are TPU v5e (v5litepod): 394 TFLOP/s bf16 MXU -> ~197 f32 (the kernels
+# pin matmuls to f32-highest), 819 GB/s HBM.  Override for other chips
+# with NODAL_TPU_PEAK_TFLOPS / NODAL_TPU_PEAK_HBM_GBPS.
+PEAK_F32_TFLOPS = float(os.environ.get("NODAL_TPU_PEAK_TFLOPS", "197"))
+PEAK_HBM_GBPS = float(os.environ.get("NODAL_TPU_PEAK_HBM_GBPS", "819"))
+
+
+def _tier_cost_model(method: str, stamps):
+    """(useful_flops, hbm_bytes) per solve for a batched tier.
+
+    These are *algorithmic* (useful-work) counts, documented per tier —
+    deliberately excluding overhead work like Newton-Schulz inverse
+    iterations, so %-of-peak reads as "fraction of the chip spent on the
+    mathematically necessary FLOPs".  Bytes model one pass over the
+    operator storage + solution (the VMEM-resident kernels read HBM once).
+    """
+    n = stamps.n
+    if method == "tridiag":
+        # PCR: log2(n) levels, ~14 flops/row/level; 4 diagonals + rhs in,
+        # x out.
+        return 14.0 * n * max(math.ceil(math.log2(max(n, 2))), 1), 6 * n * 4
+    if method == "sband":
+        from nodal_tpu.ops.scalar_band import sband_plan
+
+        w = sband_plan(stamps).W1
+        # LDLt band factorization n·w² MACs + two triangular sweeps n·w.
+        return 2.0 * n * (w * w + 2 * w), (2 * w + 3) * n * 4
+    if method == "band":
+        from nodal_tpu.ops.band import band_plan
+
+        kb = band_plan(stamps).kb
+        # Block-Thomas: ~3 kb³ matmul work per block row -> 6·n·kb² flops.
+        return 6.0 * n * kb * kb, (3 * kb + 2) * n * 4
+    if method in ("block", "dense"):
+        return (2.0 / 3.0) * n ** 3 * 2, (n * n + 2 * n) * 4
+    if method == "schur":
+        nk = stamps.n_kcl
+        from nodal_tpu.ops.band import node_band_plan
+
+        plan = node_band_plan(stamps)
+        if plan is not None and plan.nb >= 2:
+            kb = plan.kb
+            kbe = stamps.n - nk
+            # multi-RHS block-Thomas over the node block + border algebra
+            return (6.0 * nk * kb * kb * (1 + kbe / max(kb, 1)),
+                    (3 * kb + 2 + 2 * (kbe + 1)) * nk * 4)
+        return (2.0 / 3.0) * nk ** 3 * 2, (nk * nk + 2 * nk) * 4
+    return None
+
+
+def _roofline(model, solves_per_sec):
+    """Roofline fields from a (flops, bytes) per-solve model."""
+    if model is None or not solves_per_sec:
+        return {}
+    flops, nbytes = model
+    tflops = flops * solves_per_sec / 1e12
+    gbps = nbytes * solves_per_sec / 1e9
+    pct_f = 100.0 * tflops / PEAK_F32_TFLOPS
+    pct_b = 100.0 * gbps / PEAK_HBM_GBPS
+    return {
+        "tflops": round(tflops, 3),
+        "hbm_gbps": round(gbps, 2),
+        "pct_flops_peak": round(pct_f, 2),
+        "pct_hbm_peak": round(pct_b, 2),
+        # What a perfect run would be limited by vs what we achieve:
+        # when both percentages are small the tier is latency/pipeline
+        # bound, not roofline bound.
+        "bound": ("compute" if pct_f >= pct_b else "bandwidth")
+                 if max(pct_f, pct_b) >= 33 else "latency/pipeline",
+    }
 
 
 def _ladder_circuit(n_nodes):
@@ -154,10 +229,17 @@ def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto",
     return solves_per_sec, dt, err, audit, solver.method, sustained
 
 
-def bench_monte_carlo(n_nodes: int = 256, n_samples: int = 10_000):
+def bench_monte_carlo(n_nodes: int = 256, n_samples: int = 10_000,
+                      circuit_fn=None, prefix: str = "mc"):
     """Device-fused Monte Carlo tolerance sweep: sampling + solve + stats +
     full-batch COO residual audit in ONE program; only the mean/std/audit
-    scalars cross the host link."""
+    scalars cross the host link.
+
+    ``circuit_fn`` picks the topology (default: the 256-node ladder — the
+    O(n) PCR best case; round-3 review item #6 added mesh (sband tier) and
+    branch-equation (Schur tier) variants so the headline is not the
+    easiest tier's).  Every resistor gets a 5%% relative tolerance.
+    """
     from nodal_tpu.batch import monte_carlo
 
     import jax
@@ -165,8 +247,12 @@ def bench_monte_carlo(n_nodes: int = 256, n_samples: int = 10_000):
 
     from nodal_tpu.batch import BatchedSolver, _coo_residuals
 
-    circuit = _ladder_circuit(n_nodes)
-    tolerances = {f"rs{k}": 0.05 for k in range(n_nodes)}
+    circuit = (circuit_fn or _ladder_circuit)(n_nodes)
+    tolerances = {
+        name: 0.05
+        for name, comp in circuit.netlist.components.items()
+        if comp.type == "R"
+    }
     monte_carlo(circuit, tolerances, n=n_samples, seed=0)  # compile
     best, out = float("inf"), None
     for seed in range(1, 4):
@@ -214,13 +300,14 @@ def bench_monte_carlo(n_nodes: int = 256, n_samples: int = 10_000):
         sustained_best = min(sustained_best, time.perf_counter() - t0)
 
     return {
-        "mc_solves_per_sec": round(n_samples / best, 2),
-        "mc_sustained_solves_per_sec": round(
+        f"{prefix}_solves_per_sec": round(n_samples / best, 2),
+        f"{prefix}_sustained_solves_per_sec": round(
             k * n_samples / sustained_best, 2),
-        "mc_samples": n_samples,
-        "mc_nodes": n_nodes,
-        "mc_max_residual": float(out["max_residual"]),
-        "mc_sustained_max_residual": float(w),
+        f"{prefix}_samples": n_samples,
+        f"{prefix}_nodes": n_nodes,
+        f"{prefix}_method": solver.method,
+        f"{prefix}_max_residual": float(out["max_residual"]),
+        f"{prefix}_sustained_max_residual": float(w),
     }
 
 
@@ -336,6 +423,101 @@ def bench_general_sparse(n_nodes: int):
     }
 
 
+def bench_large_border(n_nodes: int = 40_000, prefix: str = "sparse_ebig"):
+    """The round-3 verdict's one MISSING capability, now benched: a mesh
+    whose ideal-source border (~8.4k E rows) exceeds the dense-Schur cap
+    by 2x.  The supernode reduction (ops/reduce_e.py) eliminates every E
+    exactly — the reduced system is purely resistive — where the old path
+    fell to a Jacobi-BiCGStab documented to stall.  Audited against the
+    full-system f64 COO residual."""
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.models.stamps import stamp_values_np
+    from nodal_tpu.ops.reduce_e import e_reduction_or_none
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    h = 100
+    w = max(n_nodes // h, 44)
+    rows = list(grid_rows(h, w))
+    for col in range(w):
+        rows.append([f"eg{col}", "E", str(1.0 + 0.001 * col),
+                     f"n0_{col}", "g"])
+    for r in range(2, 42, 2):
+        for col in range(w):
+            rows.append([f"e{r}_{col}", "E", str(0.01 * r),
+                         f"n{r}_{col}", f"n{r + 1}_{col}"])
+    c = Circuit(Netlist.from_rows(rows), sparse=True)
+    n_e = w + 20 * w
+
+    t0 = time.perf_counter()
+    sol = c.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = c.solve()
+    warm = time.perf_counter() - t0
+
+    red = e_reduction_or_none(c.stamps)
+    g_vals, rhs_vals = stamp_values_np(c.stamps, c.stamps.params)
+    b = np.zeros(c.stamps.n)
+    np.add.at(b, c.stamps.rhs_rows, rhs_vals)
+    y = np.zeros(c.stamps.n)
+    np.add.at(y, c.stamps.g_rows, g_vals * sol.result[c.stamps.g_cols])
+    rel = float(np.max(np.abs(b - y)) / max(np.max(np.abs(b)), 1.0))
+    return {
+        f"{prefix}_nodes": c.stamps.n_kcl,
+        f"{prefix}_e_sources": n_e,
+        f"{prefix}_eliminated": int(len(red.elim)),
+        f"{prefix}_method": sol.stats["method"],
+        f"{prefix}_cold_s": round(cold, 2),
+        f"{prefix}_warm_s": round(warm, 2),
+        f"{prefix}_rel_residual_f64": rel,
+    }
+
+
+def bench_opmodel_chain(n_stages: int = 2500, prefix: str = "opmodel"):
+    """OPMODEL at scale (round-3 review item #8): a chain of opamp
+    voltage-follower macromodels (Ri=1e7/Ro=10/gain=1e5 — condition
+    ~1e12) buffering a resistive ladder, ~10k unknowns through the `-s`
+    rescue/bordered path.  Reports achieved residual — the ill-conditioned
+    regime the f32 tiers cannot touch."""
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.models.stamps import stamp_values_np
+
+    rows = [["vin", "E", "1", "in0", "g"]]
+    prev = "in0"
+    for k in range(n_stages):
+        out = f"o{k}"
+        # voltage follower: OPMODEL pos=prev neg=out out=out rf=0
+        rows.append([f"u{k}", "OPMODEL", "0", prev, out, out])
+        rows.append([f"rl{k}", "R", "100", out, "g"])
+        nxt = f"in{k + 1}"
+        rows.append([f"rs{k}", "R", "10", out, nxt])
+        rows.append([f"rg{k}", "R", "1000", nxt, "g"])
+        prev = nxt
+    c = Circuit(Netlist.from_rows(rows), sparse=True)
+
+    t0 = time.perf_counter()
+    sol = c.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = c.solve()
+    warm = time.perf_counter() - t0
+
+    g_vals, rhs_vals = stamp_values_np(c.stamps, c.stamps.params)
+    b = np.zeros(c.stamps.n)
+    np.add.at(b, c.stamps.rhs_rows, rhs_vals)
+    y = np.zeros(c.stamps.n)
+    np.add.at(y, c.stamps.g_rows, g_vals * sol.result[c.stamps.g_cols])
+    rel = float(np.max(np.abs(b - y)) / max(np.max(np.abs(b)), 1.0))
+    return {
+        f"{prefix}_stages": n_stages,
+        f"{prefix}_unknowns": c.stamps.n,
+        f"{prefix}_method": sol.stats["method"],
+        f"{prefix}_cold_s": round(cold, 2),
+        f"{prefix}_warm_s": round(warm, 2),
+        f"{prefix}_rel_residual_f64": rel,
+    }
+
+
 def bench_grid(n: int, tol: float, k: int = 4):
     """1M-node grid equivalent resistance.
 
@@ -431,6 +613,7 @@ def main(argv=None):
      sustained) = bench_batched_solves(
         _ladder_circuit(args.nodes), args.batch, args.reps, args.method
     )
+    ladder_circuit = _ladder_circuit(args.nodes)
     extra = {
         "backend": backend,
         "solver_method": method,
@@ -440,14 +623,21 @@ def main(argv=None):
         "batched_max_residual": audit,
         "batched_sustained_solves_per_sec": round(sustained, 2),
     }
+    extra.update({f"batched_{k}": v for k, v in _roofline(
+        _tier_cost_model(method, ladder_circuit.stamps), sustained).items()})
     if not args.skip_general:
         # General (non-chain) topology: the round-1 review's headline gap.
+        # Three tiers: default (refine='auto' — the 1e-6 accuracy contract
+        # held by escalation), raw f32 (refine=False), full f64-refined.
         (gen_sps, gen_dt, gen_err, gen_audit, gen_method,
          gen_sust) = bench_batched_solves(
             _mesh_circuit(args.nodes), args.general_batch, args.reps
         )
-        # Refined tier on the same mesh: the ≤1e-6 accuracy contract at
-        # kernel speed (f32 solves + exact-COO f64 defect correction).
+        (genw_sps, _genw_dt, genw_err, genw_audit, _m,
+         genw_sust) = bench_batched_solves(
+            _mesh_circuit(args.nodes), args.general_batch, args.reps,
+            refine=False,
+        )
         (genr_sps, genr_dt, genr_err, genr_audit, _genr_method,
          genr_sust) = bench_batched_solves(
             _mesh_circuit(args.nodes), args.general_batch, args.reps,
@@ -457,6 +647,7 @@ def main(argv=None):
          br_sust) = bench_batched_solves(
             _branch_circuit(args.nodes), args.general_batch, args.reps
         )
+        mesh_stamps = _mesh_circuit(args.nodes).stamps
         extra.update(
             {
                 "general_solves_per_sec_1000_nodes": round(gen_sps, 2),
@@ -466,6 +657,10 @@ def main(argv=None):
                 "general_max_residual": gen_audit,
                 "general_sustained_solves_per_sec": round(gen_sust, 2),
                 "general_vs_baseline": round(gen_sps / BASELINE_SOLVES_PER_SEC, 2),
+                "general_raw_solves_per_sec": round(genw_sps, 2),
+                "general_raw_sustained_solves_per_sec": round(genw_sust, 2),
+                "general_raw_rel_err_vs_f64": genw_err,
+                "general_raw_max_residual": genw_audit,
                 "general_refined_solves_per_sec": round(genr_sps, 2),
                 "general_refined_sustained_solves_per_sec": round(
                     genr_sust, 2),
@@ -479,12 +674,13 @@ def main(argv=None):
                 "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
             }
         )
+        extra.update({f"general_raw_{k}": v for k, v in _roofline(
+            _tier_cost_model("sband", mesh_stamps), genw_sust).items()})
     for i, mid_nodes in enumerate(args.midsize_nodes):
-        # Mid-size tiers: past the VMEM-resident band kernel, exercising the
-        # streaming (grid-pipelined) block-Thomas path — f32 fast tier and
-        # the f64-residual-refined tier side by side (round-2 review item
-        # #2: the ≤1e-6 accuracy claim must carry a measured cost, at both
-        # n=5000 and n=10000).
+        # Mid-size tiers: past the VMEM-resident band kernel, exercising
+        # the streaming (grid-pipelined) path.  The DEFAULT row is the
+        # escalating contract tier (round-3 review item #4: default-path
+        # rel err must be <= 1e-6); raw f32 and full-refined bracket it.
         tag = "midsize" if i == 0 else f"midsize_{mid_nodes}"
         mid_circuit = _mesh_circuit(mid_nodes)
         (mid_sps, mid_dt, mid_err, mid_audit, mid_method,
@@ -501,23 +697,49 @@ def main(argv=None):
                 f"{tag}_sustained_solves_per_sec": round(mid_sust, 2),
             }
         )
+        raw_sps, _, raw_err, raw_audit, _, raw_sust = bench_batched_solves(
+            mid_circuit, args.midsize_batch, 2, refine=False
+        )
         ref_sps, _, ref_err, ref_audit, _, ref_sust = bench_batched_solves(
             mid_circuit, args.midsize_batch, 2, refine=True
         )
         extra.update(
             {
+                f"{tag}_raw_solves_per_sec": round(raw_sps, 2),
+                f"{tag}_raw_rel_err_vs_f64": raw_err,
+                f"{tag}_raw_max_residual": raw_audit,
+                f"{tag}_raw_sustained_solves_per_sec": round(raw_sust, 2),
                 f"{tag}_refined_solves_per_sec": round(ref_sps, 2),
                 f"{tag}_refined_rel_err_vs_f64": ref_err,
                 f"{tag}_refined_max_residual": ref_audit,
                 f"{tag}_refined_sustained_solves_per_sec": round(ref_sust, 2),
             }
         )
+        extra.update({f"{tag}_raw_{k}": v for k, v in _roofline(
+            _tier_cost_model(mid_method, mid_circuit.stamps),
+            raw_sust).items()})
     if not args.skip_mc:
         extra.update(bench_monte_carlo())
+        # Non-trivial Monte Carlo headlines (round-3 review item #6): a
+        # 1k-node mesh (sband tier) and a branch-equation circuit (Schur
+        # tier) — the tiers where the sweep does real O(n·w²) work.
+        extra.update(bench_monte_carlo(
+            1000, 4096, circuit_fn=_mesh_circuit, prefix="mc_mesh"))
+        extra.update(bench_monte_carlo(
+            1000, 4096, circuit_fn=_branch_circuit, prefix="mc_branch"))
     if not args.skip_grad:
         extra.update(bench_gradient(args.nodes, args.general_batch))
     if not args.skip_sparse:
+        # 40k first: the scale BASELINE.md actually measured the reference
+        # at (SuperLU solve 0.79 s after 9.25 s Python stamping) — the
+        # directly comparable cold/warm one-shot numbers.
+        extra.update({
+            f"sparse40k_{k.split('_', 1)[1]}": v
+            for k, v in bench_general_sparse(40_000).items()
+        })
         extra.update(bench_general_sparse(args.sparse_nodes))
+        extra.update(bench_large_border())
+        extra.update(bench_opmodel_chain())
     if not args.skip_grid:
         r, grid_dt, iters, marginal = bench_grid(args.grid, args.grid_tol)
         extra.update(

@@ -359,6 +359,154 @@ def _coo_defect_refine(stamps: StampTensors, params_batch, rhs, x, resolve,
     return x
 
 
+#: The default accuracy contract (BASELINE.json north star): node voltages
+#: within 1e-6.  The auto tier escalates any batch whose measured f64
+#: residual exceeds this instead of logging a warning.
+_CONTRACT_TOL = 1e-6
+
+#: Escalation pass cap: one exact-COO defect correction contracts the
+#: error by ~the f32 tier's own relative error (1e-4 at n=10k), so a
+#: second pass only runs for pathological batches.
+_ESCALATE_MAX_PASSES = 2
+
+#: Samples that defect correction cannot repair (the no-pivot tier's
+#: factorization itself broke — e.g. indefinite systems from negative
+#: Monte Carlo draws) are re-solved with pivoted dense LU, assembled in
+#: chunks bounded by this many bytes.  Above this n the dense rescue is
+#: structurally impossible ([B, n, n]) and such samples stay flagged.
+_ESCALATE_DENSE_MAX_N = 4096
+_ESCALATE_CHUNK_BYTES = 1 << 28
+
+
+def _escalating_solver(stamps: StampTensors, inner, transpose: bool = False):
+    """The ``refine="auto"`` tier: f32 kernels + fused f64 COO residual
+    audit + defect correction *only when the accuracy contract is missed*.
+
+    ``inner(pb, rhs=None)`` is the tier's raw f32 solve (``rhs`` in
+    natural order; for ``transpose=True`` it solves the transposed system
+    and ``rhs`` is required).  The wrapper measures the exact relative
+    residual per batch (assembly-free gather-fold, O(B·nnz)) and runs a
+    ``lax.while_loop`` of re-solves against the f64 defect while any
+    sample exceeds ``_CONTRACT_TOL`` — so clean batches (small-n ladder
+    sweeps) pay only the audit, while batches past the f32 floor (midsize
+    meshes: rel err ~1e-4 at n=10k) or outside the no-pivot tiers'
+    diagonal-dominance domain (negative Monte Carlo draws) come back
+    refined instead of warned-about.  Each pass costs one tier solve; the
+    f32 tier's own error is the contraction factor, so one pass typically
+    lands ~1e-8.  Output is f64 (like ``refine=True``); NaN/Inf residuals
+    (structurally singular samples) exit immediately — refinement cannot
+    repair a failed factorization, and the downstream audit still reports
+    them.
+    """
+    from nodal_tpu.models.stamps import stamp_values
+
+    st = _transposed_stamps(stamps) if transpose else stamps
+
+    def refine_loop(params_batch, rhs, x):
+        """f64 defect-correction while-loop (runs only when triggered)."""
+        x = x.astype(jnp.float64)
+        g_vals, rhs_vals = jax.vmap(lambda p: stamp_values(st, p))(
+            params_batch.astype(jnp.float64))
+        if rhs is None:
+            b64 = _coo_rhs_vec(st, rhs_vals, x)
+        else:
+            b64 = rhs.astype(jnp.float64)
+        b_scale = jnp.maximum(jnp.max(jnp.abs(b64), axis=1), 1.0)
+
+        def rel_of(x):
+            r = b64 - _coo_apply(st, g_vals, x)
+            rel = jnp.max(jnp.max(jnp.abs(r), axis=1) / b_scale)
+            return r, rel
+
+        r0, rel0 = rel_of(x)
+
+        def cond(state):
+            _x, _r, rel, k = state
+            return jnp.logical_and(
+                jnp.logical_and(rel > _CONTRACT_TOL, jnp.isfinite(rel)),
+                k < _ESCALATE_MAX_PASSES,
+            )
+
+        def body(state):
+            x, r, _rel, k = state
+            dx = inner(params_batch, r.astype(jnp.float32))
+            x = x + dx.astype(jnp.float64)
+            r, rel = rel_of(x)
+            return (x, r, rel, k + 1)
+
+        x, r, _, _ = jax.lax.while_loop(
+            cond, body, (x, r0, rel0, jnp.array(0, jnp.int32)))
+
+        if stamps.n > _ESCALATE_DENSE_MAX_N:
+            return x
+        # Pivoted rescue for samples the defect loop could not contract
+        # (the no-pivot factorization itself broke — indefinite draws).
+        # Chunked dense assembly bounds memory; runs only when the loop
+        # exits over-contract (lax.cond), and only the still-bad samples
+        # take the rescue values.
+        rel_s = jnp.max(jnp.abs(r), axis=1) / b_scale
+        bad = jnp.logical_or(rel_s > _CONTRACT_TOL, ~jnp.isfinite(rel_s))
+
+        def rescue(x):
+            B = params_batch.shape[0]
+            chunk = max(1, min(B, _ESCALATE_CHUNK_BYTES
+                               // max(stamps.n * stamps.n * 4, 1)))
+            while B % chunk:  # largest divisor of B within the budget
+                chunk -= 1
+            # Native f64 pivoted LU where it exists (host CPU): defect
+            # iteration around an f32 factorization diverges once
+            # cond(A)·eps_f32 > 1 (~1e7 — reachable by near-singular
+            # draws), while f64 LU is backward-stable regardless.  On TPU
+            # f64 LU does not compile, so the rescue is f32 LU + f64
+            # defect there — near-singular samples may plateau ~1e-5 and
+            # keep their audit flag (honest limit, logged by monte_carlo).
+            if jax.default_backend() == "tpu":
+                core = make_dense_core(stamps, jnp.float32, refine=True)
+            else:
+                core = make_dense_core(stamps, jnp.float64, refine=False)
+            if B % chunk == 0 and B > chunk:
+                pbc = params_batch.reshape(B // chunk, chunk, -1)
+                if rhs is None:
+                    xd = jax.lax.map(
+                        lambda p: core(p, None, transpose), pbc)
+                else:
+                    rc = rhs.reshape(B // chunk, chunk, -1)
+                    xd = jax.lax.map(
+                        lambda pr: core(pr[0], pr[1], transpose),
+                        (pbc, rc))
+                xd = xd.reshape(B, -1)
+            else:
+                xd = core(params_batch, rhs, transpose)
+            return jnp.where(bad[:, None], xd.astype(jnp.float64), x)
+
+        return jax.lax.cond(jnp.any(bad), rescue, lambda x: x, x)
+
+    def run(params_batch, rhs=None):
+        x32 = inner(params_batch, rhs)
+        # Detection audit at tier precision (cheap, fused): its own noise
+        # floor (~3e-7 at n=1000) sits below the contract, so a clean
+        # batch skips the f64 machinery entirely; a triggered batch takes
+        # the f64 defect-correction loop in the other cond branch.
+        g32, rv32 = jax.vmap(lambda p: stamp_values(st, p))(
+            params_batch.astype(x32.dtype))
+        b32 = (rhs.astype(x32.dtype) if rhs is not None
+               else _coo_rhs_vec(st, rv32, x32))
+        r32 = b32 - _coo_apply(st, g32, x32)
+        rel32 = jnp.max(
+            jnp.max(jnp.abs(r32), axis=1)
+            / jnp.maximum(jnp.max(jnp.abs(b32), axis=1), 1.0))
+        needs = jnp.logical_or(rel32 > _CONTRACT_TOL,
+                               ~jnp.isfinite(rel32))
+        return jax.lax.cond(
+            needs,
+            lambda x: refine_loop(params_batch, rhs, x),
+            lambda x: x.astype(jnp.float64),
+            x32,
+        )
+
+    return run
+
+
 def make_dense_core(stamps: StampTensors, dtype, refine: bool):
     """``core(pb, rhs=None, transpose=False)``: the dense (pivoted-LU)
     MNA solve shared by BatchedSolver's 'dense' method and the sharded
@@ -535,7 +683,7 @@ class BatchedSolver:
         circuit: Circuit | StampTensors,
         *,
         dtype=jnp.float32,
-        refine: bool = False,
+        refine: bool | str = "auto",
         method: str = "auto",
     ):
         from nodal_tpu.ops.assemble import assemble_tridiag, bandwidth
@@ -544,6 +692,15 @@ class BatchedSolver:
         self.stamps: StampTensors = _stamps_of(circuit)
         self.dtype = dtype
         self.refine = refine
+        # refine="auto" (the default): build the raw f32 tier and wrap it
+        # in the escalating contract layer at _finalize — batches whose
+        # measured residual misses the 1e-6 contract are defect-corrected
+        # automatically (round-3 review item #4: the fused audit used to
+        # WARN instead of escalating).  refine=False: raw tier, no audit.
+        self._auto_escalate = (refine == "auto"
+                               and jnp.dtype(dtype) == jnp.float32)
+        if refine == "auto":
+            refine = False
 
         if method not in ("auto", "tridiag", "sband", "band", "block",
                           "schur", "dense"):
@@ -1094,6 +1251,10 @@ class BatchedSolver:
         through the Pallas kernels, which have no autodiff rules of their
         own.  See :func:`make_adjoint_solver`.
         """
+        if self._auto_escalate:
+            solve_batch = _escalating_solver(self.stamps, solve_batch)
+            solve_rhs_t = _escalating_solver(self.stamps, solve_rhs_t,
+                                             transpose=True)
         self._solve_rhs_t = solve_rhs_t  # diagnostics/tests; unjitted
         self._solve = jax.jit(
             make_adjoint_solver(self.stamps, solve_batch, solve_rhs_t))
@@ -1216,7 +1377,7 @@ def monte_carlo(
     *,
     seed: int = 0,
     dtype=jnp.float32,
-    refine: bool = False,
+    refine: bool | str = "auto",
     return_solutions: bool = False,
     audit: bool | str = True,
 ):
@@ -1275,7 +1436,15 @@ def monte_carlo(
             mean = jnp.mean(xs, axis=0)
             std = jnp.std(xs, axis=0)
             if check:
-                res = _coo_residuals(stamps, batch, xs.astype(batch.dtype))
+                # Audit at the SOLUTION's precision: casting an escalated
+                # f64 solution down to f32 manufactures ~cond·eps_f32
+                # phantom residuals on ill-conditioned draws.
+                if xs.dtype == jnp.float64:
+                    res = _coo_residuals(
+                        stamps, batch.astype(jnp.float64), xs)
+                else:
+                    res = _coo_residuals(stamps, batch,
+                                         xs.astype(batch.dtype))
                 audit_out = (jnp.max(res),
                              jnp.sum(res > _AUDIT_WARN_TOL))
             else:
@@ -1366,9 +1535,9 @@ def sensitivities(
     # is an 80 GB non-starter.  Cost: one forward + one transpose solve.
     if getattr(circuit, "sparse", False):
         from nodal_tpu.ops.sparse_schur import (
-            general_plan, general_sparse_adjoint_gradient)
+            general_auto_viable, general_sparse_adjoint_gradient)
 
-        if general_plan(stamps).viable:
+        if general_auto_viable(stamps):
             pbar, _x, info_f, info_a = general_sparse_adjoint_gradient(
                 stamps, idx)
             if not (bool(info_f.converged) and bool(info_a.converged)):

@@ -277,14 +277,11 @@ class Circuit:
         the n>16,384 path previously returned NaN + error unconditionally).
         """
         if self.stamps.n > _DENSE_RESCUE_MAX_N:
-            from nodal_tpu.ops.sparse_schur import (general_plan,
-                                                    solve_general_sparse)
+            from nodal_tpu.ops.sparse_schur import solve_general_auto
 
             try:
-                if not general_plan(self.stamps).viable:
-                    raise ValueError("border too large")
-                x, info = solve_general_sparse(self.stamps,
-                                               self.stamps.params)
+                x, info = solve_general_auto(self.stamps,
+                                             self.stamps.params)
                 return np.asarray(x, dtype=np.float64), float(info.residual)
             except np.linalg.LinAlgError:
                 return np.full(self.stamps.n, np.nan), np.inf
@@ -323,7 +320,7 @@ class Circuit:
         logger.error("Model error: matrix is singular")
         raise LinAlgError("Singular matrix")
 
-    def batched_solver(self, *, dtype=None, refine: bool = False,
+    def batched_solver(self, *, dtype=None, refine: bool | str = "auto",
                        method: str = "auto"):
         """Memoized BatchedSolver for this circuit.
 

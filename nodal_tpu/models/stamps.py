@@ -87,6 +87,17 @@ class StampTensors:
     rhs_e2: np.ndarray  # int8[m]
     params: np.ndarray  # float64[n_components] default component values
     param_slot: dict[str, int] = field(default_factory=dict)
+    # Per-anomalous-component metadata in anomnum (branch-row) order —
+    # consumed by the voltage-constraint reduction of
+    # :mod:`nodal_tpu.ops.reduce_e` to recognize ideal-source branch rows
+    # without reparsing the netlist.  Empty for synthetic stamp objects.
+    anom_types: tuple = ()              # e.g. ("E", "VCCS", ...)
+    anom_a: np.ndarray = field(         # anode row index, -1 for ground
+        default_factory=lambda: np.zeros(0, np.int32))
+    anom_b: np.ndarray = field(         # bnode row index, -1 for ground
+        default_factory=lambda: np.zeros(0, np.int32))
+    anom_slot: np.ndarray = field(      # param slot of the component
+        default_factory=lambda: np.zeros(0, np.int32))
 
     @property
     def nnz(self) -> int:
@@ -296,6 +307,22 @@ class _Builder:
                 )
             dispatch[comp.type](comp)
 
+        # Anomalous-branch metadata in anomnum order (branch row
+        # kcl + anomnum[name]); node indices -1 encode ground.
+        anom_names = sorted(self.nl.anomnum, key=self.nl.anomnum.get)
+        anom_types = tuple(self.nl.components[k].type for k in anom_names)
+        def _nidx(label):
+            i = self.node(label)
+            return -1 if i is None else i
+        anom_a = np.array(
+            [_nidx(self.nl.components[k].anode) for k in anom_names],
+            dtype=np.int32)
+        anom_b = np.array(
+            [_nidx(self.nl.components[k].bnode) for k in anom_names],
+            dtype=np.int32)
+        anom_slot = np.array(
+            [self.param_slot[k] for k in anom_names], dtype=np.int32)
+
         ge = self.g_entries
         re = self.rhs_entries
         return StampTensors(
@@ -316,6 +343,10 @@ class _Builder:
             rhs_e2=np.array([e[5] for e in re], dtype=np.int8),
             params=self.params,
             param_slot=self.param_slot,
+            anom_types=anom_types,
+            anom_a=anom_a,
+            anom_b=anom_b,
+            anom_slot=anom_slot,
         )
 
 

@@ -325,3 +325,60 @@ def make_amg_preconditioner(levels: list[_Level], dtype):
     """
     arrays, meta = hierarchy_arrays(levels, dtype)
     return make_vcycle(arrays, meta)
+
+
+def pack_hierarchy(levels: list[_Level], dtype):
+    """Pack the whole hierarchy into TWO host buffers ``(ibuf, fbuf,
+    meta)`` for single-shot device transfer.
+
+    Each ``jax.device_put`` leaf is one host→device round trip; through a
+    remote-TPU tunnel the per-transfer latency dwarfs the bytes (measured:
+    the 29-leaf hierarchy pytree cost 1–11 s of wall depending on tunnel
+    load, vs ~3 MB of payload).  ``ibuf`` concatenates every index array
+    (``rows, cols, p_rows, p_cols`` per level, int32), ``fbuf`` every
+    value array (``vals, dinv, p_vals`` per level, ``dtype``); ``meta`` is
+    the static ``(n, n_coarse, nnz, p_nnz)`` tuple per level from which
+    :func:`unpack_hierarchy` rebuilds the per-level views with static
+    slices inside a jitted program (XLA fuses them away).
+    """
+    ints, flts, meta = [], [], []
+    for lv in levels:
+        pnnz = 0 if lv.p_rows is None else len(lv.p_rows)
+        meta.append((lv.n, lv.n_coarse, len(lv.rows), pnnz))
+        ints += [lv.rows, lv.cols]
+        dinv = np.where(lv.diag != 0,
+                        1.0 / np.where(lv.diag == 0, 1.0, lv.diag), 1.0)
+        flts += [lv.vals, dinv]
+        if pnnz:
+            ints += [lv.p_rows, lv.p_cols]
+            flts += [lv.p_vals]
+    ibuf = np.concatenate([a.astype(np.int32) for a in ints])
+    fbuf = np.concatenate(flts).astype(np.dtype(dtype))
+    return ibuf, fbuf, tuple(meta)
+
+
+def unpack_hierarchy(ibuf, fbuf, meta):
+    """Rebuild ``(arrays, vmeta)`` for :func:`make_vcycle` from packed
+    buffers (traced or concrete) — static slices only."""
+    arrays = []
+    io = fo = 0
+    for (n, nc, nnz, pnnz) in meta:
+        lv = {
+            "rows": ibuf[io:io + nnz],
+            "cols": ibuf[io + nnz:io + 2 * nnz],
+            "vals": fbuf[fo:fo + nnz],
+            "dinv": fbuf[fo + nnz:fo + nnz + n],
+        }
+        io += 2 * nnz
+        fo += nnz + n
+        if pnnz:
+            lv["p_rows"] = ibuf[io:io + pnnz]
+            lv["p_cols"] = ibuf[io + pnnz:io + 2 * pnnz]
+            lv["p_vals"] = fbuf[fo:fo + pnnz]
+            io += 2 * pnnz
+            fo += pnnz
+        else:
+            lv["p_rows"] = lv["p_cols"] = lv["p_vals"] = None
+        arrays.append(lv)
+    vmeta = tuple((n, nc) for (n, nc, _, _) in meta)
+    return tuple(arrays), vmeta

@@ -112,41 +112,45 @@ def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None,
     Purely resistive systems are SPD and solve with preconditioned CG
     (``jacobi``, ``amg``, or ``auto`` — AMG above ~100k unknowns).  Systems
     with branch equations (E/controlled sources make G indefinite) default
-    to the bordered block elimination of :mod:`nodal_tpu.ops.sparse_schur`
-    — AMG-CG on the resistively-grounded node block plus a small dense
-    pivoted Schur complement, the SuperLU-robustness role (reference
-    nodal.py:325) — falling back to Jacobi-BiCGStab only when the border is
-    too large (``general='krylov'`` forces the fallback; ``'schur'`` forces
-    the elimination).  ``rhs`` overrides the netlist's own source vector
-    (used by the equivalent-resistance probe injection).
+    to :func:`nodal_tpu.ops.sparse_schur.solve_general_auto` — ideal-
+    voltage-source supernode reduction (ops/reduce_e.py), then bordered
+    block elimination: AMG-CG on the resistively-grounded node block plus
+    a small dense pivoted Schur complement, the SuperLU-robustness role
+    (reference nodal.py:325).  A border that exceeds the Schur cap even
+    after reduction raises a clear ValueError (``general='krylov'`` forces
+    the legacy Jacobi-BiCGStab instead).  ``rhs`` overrides the netlist's
+    own source vector (used by the equivalent-resistance probe injection).
     """
     topo = _topology(stamps)
 
     spd = stamps.n == stamps.n_kcl  # no branch equations -> grounded Laplacian
     if not spd and general != "krylov":
-        from nodal_tpu.ops.sparse_schur import (general_plan,
-                                                solve_general_sparse)
+        from nodal_tpu.ops.sparse_schur import solve_general_auto
 
-        plan = general_plan(stamps)
-        if plan.viable or general == "schur":
-            # Entirely host-side: np.asarray happens on the *original*
-            # argument before any device placement, and the result stays
-            # numpy.  Fetching an emulated-f64 array back from a remote
-            # TPU blocks for minutes (measured: np.asarray of a [4k] f64
-            # device array through the axon tunnel > 300 s), so this path
-            # must never round-trip through the accelerator.
-            gtol = tol
-            if gtol is None:
-                gtol = 1e-10 if np.dtype(dtype or np.float64) == np.float64 \
-                    else 1e-6
-            x, info = solve_general_sparse(
-                stamps,
-                np.asarray(params, dtype=np.float64),
-                rhs=None if rhs is None else np.asarray(rhs, np.float64),
-                tol=max(float(gtol), 1e-12),
-            )
-            return x.astype(np.dtype(dtype) if dtype is not None
-                            else np.float64), info
+        # Entirely host-side: np.asarray happens on the *original*
+        # argument before any device placement, and the result stays
+        # numpy.  Fetching an emulated-f64 array back from a remote
+        # TPU blocks for minutes (measured: np.asarray of a [4k] f64
+        # device array through the axon tunnel > 300 s), so this path
+        # must never round-trip through the accelerator.
+        # solve_general_auto routes: ideal-source constraint reduction
+        # (ops/reduce_e.py) first, bordered elimination on the reduced
+        # system; a border that stays over the cap raises a clear
+        # ValueError instead of falling into a Krylov method known to
+        # stall on branch-equation circuits (general="krylov" still
+        # forces the old fallback explicitly).
+        gtol = tol
+        if gtol is None:
+            gtol = 1e-10 if np.dtype(dtype or np.float64) == np.float64 \
+                else 1e-6
+        x, info = solve_general_auto(
+            stamps,
+            np.asarray(params, dtype=np.float64),
+            rhs=None if rhs is None else np.asarray(rhs, np.float64),
+            tol=max(float(gtol), 1e-12),
+        )
+        return x.astype(np.dtype(dtype) if dtype is not None
+                        else np.float64), info
 
     params = jnp.asarray(params, dtype=dtype)
     if tol is None:

@@ -53,6 +53,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -562,6 +563,107 @@ def solve_general_sparse(
     )
 
 
+def solve_general_auto(
+    stamps: StampTensors,
+    params=None,
+    *,
+    rhs=None,
+    tol: float = 1e-9,
+    setup_tol: float = 1e-4,
+):
+    """Structure-routed general sparse solve: ideal-voltage-constraint
+    reduction first (:mod:`nodal_tpu.ops.reduce_e`), bordered elimination
+    on the (possibly reduced) system.
+
+    This is the SuperLU-robustness entry point (reference nodal.py:325):
+    it handles any border population the reference can —
+    "mostly-branch-equation" circuits (tens of thousands of E sources)
+    reduce to supernodes before the Schur border is formed, so the border
+    cap only bites on circuits with >4096 *controlled* sources, which
+    raise a clear ValueError instead of stalling in a Krylov fallback.
+
+    Returns ``(x, GeneralSolveInfo)`` with ``x`` float64 over the ORIGINAL
+    unknown ordering.  Raises ``numpy.linalg.LinAlgError`` for structural
+    singularities (E-cycles, singular Schur complement).
+    """
+    import os
+
+    from nodal_tpu.ops import reduce_e
+
+    if params is None:
+        params = stamps.params
+    params = np.asarray(params, dtype=np.float64)
+
+    red = None
+    if os.environ.get("NODAL_TPU_NO_EREDUCE", "0") != "1":
+        red = reduce_e.e_reduction_or_none(stamps)
+    if red is None:
+        plan = general_plan(stamps)
+        if not plan.viable:
+            raise ValueError(
+                f"bordered elimination cannot serve this circuit: "
+                f"{plan.m} border rows (cap {_BORDER_CAP}) and no "
+                f"eliminable ideal sources — the border is controlled "
+                f"sources/ungrounded-island representatives; split the "
+                f"sweep or ground the islands resistively"
+            )
+        return solve_general_sparse(stamps, params, rhs=rhs, tol=tol,
+                                    setup_tol=setup_tol)
+
+    g_vals, rhs_vals = stamp_values_np(stamps, params)
+    b_full = np.zeros(stamps.n)
+    np.add.at(b_full, stamps.rhs_rows, rhs_vals)
+    if rhs is not None:
+        b_full = np.asarray(rhs, dtype=np.float64)
+    q = reduce_e.offsets(red, stamps, params)
+    b_red = reduce_e.reduced_rhs(red, stamps, g_vals, b_full, q)
+
+    if red.n_red == 0:
+        # Pure ideal-source circuit: every potential is a q offset and
+        # every current comes from tree peeling.
+        x_red = np.zeros(0)
+        info = GeneralSolveInfo(
+            residual=np.float64(0.0), iterations=np.int64(0),
+            converged=np.bool_(True), method="ereduce",
+        )
+    else:
+        plan_red = general_plan(red.stamps_red)
+        if not plan_red.viable:
+            raise ValueError(
+                f"bordered elimination cannot serve this circuit even "
+                f"after ideal-source reduction: {plan_red.m} border rows "
+                f"remain (cap {_BORDER_CAP}) — controlled sources/"
+                f"ungrounded islands; split the sweep or ground the "
+                f"islands resistively"
+            )
+        x_red, info = solve_general_sparse(
+            red.stamps_red, params, rhs=b_red, tol=tol,
+            setup_tol=setup_tol,
+        )
+        if not np.all(np.isfinite(x_red)):
+            return np.full(stamps.n, np.nan), info
+
+    x = reduce_e.expand_solution(red, stamps, x_red, g_vals, b_full, q)
+    # Audit on the ORIGINAL system (the reduction and recovery are exact
+    # in exact arithmetic; this guards f64 roundoff on deep source trees).
+    y = np.zeros(stamps.n)
+    with np.errstate(invalid="ignore"):
+        np.add.at(y, stamps.g_rows.astype(np.int64),
+                  g_vals * x[stamps.g_cols.astype(np.int64)])
+    b_scale = max(float(np.max(np.abs(b_full))) if stamps.n else 0.0, 1.0)
+    rel = float(np.max(np.abs(b_full - y))) / b_scale
+    # Inner refinement targets ``tol`` on the reduced system; the lift
+    # adds only f64 roundoff (offset sums along source trees), so allow a
+    # 10x margin before declaring the solve degraded.
+    ok = np.isfinite(rel) and rel <= 10 * tol and bool(info.converged)
+    return x, GeneralSolveInfo(
+        residual=np.float64(rel),
+        iterations=info.iterations,
+        converged=np.bool_(bool(ok)),
+        method=f"ereduce+{info.method}" if red.n_red else "ereduce",
+    )
+
+
 def solve_general_sparse_transpose(
     stamps: StampTensors,
     params=None,
@@ -743,6 +845,108 @@ def solve_general_sparse_transpose(
     )
 
 
+def general_auto_viable(stamps: StampTensors) -> bool:
+    """Can :func:`solve_general_auto` serve this circuit?  Viability of
+    the bordered elimination AFTER ideal-source reduction (raises
+    LinAlgError on a structural E-cycle, which is singular regardless)."""
+    import os
+
+    from nodal_tpu.ops import reduce_e
+
+    target = stamps
+    if os.environ.get("NODAL_TPU_NO_EREDUCE", "0") != "1":
+        red = reduce_e.e_reduction_or_none(stamps)
+        if red is not None:
+            if red.n_red == 0:
+                return True
+            target = red.stamps_red
+    return general_plan(target).viable
+
+
+def solve_general_auto_transpose(
+    stamps: StampTensors,
+    params=None,
+    *,
+    rhs,
+    tol: float = 1e-9,
+    setup_tol: float = 1e-4,
+):
+    """Transpose counterpart of :func:`solve_general_auto`: ``Gᵀ y = rhs``
+    with the same ideal-source reduction.
+
+    ``(L G R)ᵀ = Rᵀ Gᵀ Lᵀ``, so the reduced transpose system is exactly
+    the reduced forward matrix transposed — the adjoint shares the
+    forward's cached factorization.  The eliminated sources' adjoint
+    pieces mirror the forward's: their current *columns* become tree
+    constraints on the adjoint node-row values (offsets ``p``), and their
+    branch-row adjoints are recovered by peeling the same tree against the
+    grouped node columns' transpose equations (see ops/reduce_e.py).
+    """
+    import os
+
+    from nodal_tpu.ops import reduce_e
+
+    if params is None:
+        params = stamps.params
+    params = np.asarray(params, dtype=np.float64)
+
+    red = None
+    if os.environ.get("NODAL_TPU_NO_EREDUCE", "0") != "1":
+        red = reduce_e.e_reduction_or_none(stamps)
+    if red is None:
+        plan = general_plan(stamps)
+        if not plan.viable:
+            raise ValueError(
+                f"bordered elimination cannot serve this circuit: "
+                f"{plan.m} border rows (cap {_BORDER_CAP}) and no "
+                f"eliminable ideal sources"
+            )
+        return solve_general_sparse_transpose(stamps, params, rhs=rhs,
+                                              tol=tol, setup_tol=setup_tol)
+
+    g_vals, _ = stamp_values_np(stamps, params)
+    c_full = np.asarray(rhs, dtype=np.float64)
+    p = reduce_e.offsets_transpose(red, c_full)
+    c_red = reduce_e.reduced_rhs_transpose(red, stamps, g_vals, c_full, p)
+
+    if red.n_red == 0:
+        y_red = np.zeros(0)
+        info = GeneralSolveInfo(
+            residual=np.float64(0.0), iterations=np.int64(0),
+            converged=np.bool_(True), method="ereduce-T",
+        )
+    else:
+        plan_red = general_plan(red.stamps_red)
+        if not plan_red.viable:
+            raise ValueError(
+                f"bordered elimination cannot serve this circuit even "
+                f"after ideal-source reduction: {plan_red.m} border rows "
+                f"remain (cap {_BORDER_CAP})"
+            )
+        y_red, info = solve_general_sparse_transpose(
+            red.stamps_red, params, rhs=c_red, tol=tol,
+            setup_tol=setup_tol,
+        )
+        if not np.all(np.isfinite(y_red)):
+            return np.full(stamps.n, np.nan), info
+
+    y = reduce_e.expand_solution_transpose(red, stamps, y_red, g_vals,
+                                           c_full, p)
+    z = np.zeros(stamps.n)
+    with np.errstate(invalid="ignore"):
+        np.add.at(z, stamps.g_cols.astype(np.int64),
+                  g_vals * y[stamps.g_rows.astype(np.int64)])
+    c_scale = max(float(np.max(np.abs(c_full))) if stamps.n else 0.0, 1.0)
+    rel = float(np.max(np.abs(c_full - z))) / c_scale
+    ok = np.isfinite(rel) and rel <= 10 * tol and bool(info.converged)
+    return y, GeneralSolveInfo(
+        residual=np.float64(rel),
+        iterations=info.iterations,
+        converged=np.bool_(bool(ok)),
+        method=f"ereduce+{info.method}" if red.n_red else "ereduce-T",
+    )
+
+
 def general_sparse_adjoint_gradient(
     stamps: StampTensors,
     out_index: int,
@@ -765,11 +969,11 @@ def general_sparse_adjoint_gradient(
         params = stamps.params
     params = np.asarray(params, dtype=np.float64)
 
-    x, info_f = solve_general_sparse(stamps, params, tol=tol)
+    x, info_f = solve_general_auto(stamps, params, tol=tol)
     e = np.zeros(stamps.n)
     e[out_index] = 1.0
-    lam, info_a = solve_general_sparse_transpose(stamps, params, rhs=e,
-                                                 tol=tol)
+    lam, info_a = solve_general_auto_transpose(stamps, params, rhs=e,
+                                               tol=tol)
 
     # x̄ = λᵀ(∂b/∂p − ∂G/∂p·x): per-entry cotangents, then the product-
     # rule pullback of stamp values v = coeff · f(p₁,e₁) · f(p₂,e₂) with
@@ -812,26 +1016,39 @@ _ACCEL_CG_TOL_FLOOR = 1e-5
 #: f32 tier cannot serve this system and the CPU f64 path takes over.
 _ACCEL_MAXITER = 400
 
+#: Node-block size below which the accelerator tier is not worth waking:
+#: host f64 AMG-CG solves these in well under a second, while the remote
+#: accelerator costs device transfers + (first time) a program compile —
+#: the small-system policy Circuit._device_scope applies to dense solves,
+#: replicated here for the bordered elimination.
+_ACCEL_MIN_N1 = int(os.environ.get("NODAL_TPU_SPARSE_ACCEL_MIN_N", "20000"))
+
 
 @functools.partial(
-    jax.jit, static_argnames=("meta", "n1", "tol", "maxiter"))
-def _multi_cg_program(B, rows, cols, vals, amg, *, meta, n1, tol, maxiter):
+    jax.jit, static_argnames=("meta", "tol", "maxiter"))
+def _multi_cg_program(B, ibuf, fbuf, *, meta, tol, maxiter):
     """One compiled program: vmapped AMG-preconditioned CG over RHS columns.
 
-    Every array — the deduped A11 COO triple and the whole AMG hierarchy —
-    is a traced ARGUMENT, not a closure constant: embedded large constants
-    make XLA constant-fold 40k-row scatters at compile time (measured
-    multi-second folds per program and ~18 s of compile across widths at
-    40k nodes) and force a re-transfer per topology.  As arguments they
-    are ``device_put`` once and the compile is data-independent.
+    The operator and the whole AMG hierarchy arrive as TWO packed traced
+    arguments (``pack_hierarchy``), not closure constants: embedded large
+    constants make XLA constant-fold 40k-row scatters at compile time
+    (measured multi-second folds per program and ~18 s of compile across
+    widths at 40k nodes), and each ``device_put`` leaf is one tunnel round
+    trip — the 29-leaf hierarchy pytree cost 1–11 s of transfer wall where
+    the two packed buffers cost two round trips.  The A11 operator IS the
+    hierarchy's level-0 matrix, so no separate COO triple is passed.
     """
-    from nodal_tpu.ops.amg import make_vcycle
+    from nodal_tpu.ops.amg import make_vcycle, unpack_hierarchy
 
-    M = make_vcycle(amg, meta)
+    arrays, vmeta = unpack_hierarchy(ibuf, fbuf, meta)
+    M = make_vcycle(arrays, vmeta)
+    lv0 = arrays[0]
+    n1 = meta[0][0]
 
     def mv(x):
         return jax.ops.segment_sum(
-            vals * x[cols], rows, num_segments=n1, indices_are_sorted=True
+            lv0["vals"] * x[lv0["cols"]], lv0["rows"], num_segments=n1,
+            indices_are_sorted=True,
         )
 
     def one(bcol):
@@ -855,9 +1072,13 @@ def _accel_device_or_none():
 
 
 def _try_accel(stamps: StampTensors, g_vals) -> bool:
-    """Should this solve try the accelerator tier?  False when no
-    accelerator exists or the tier already failed for these exact values
-    (warm solves must not re-pay a doomed f32 factorization every call)."""
+    """Should this solve try the accelerator tier?  False when the node
+    block is too small to amortize device transfers/compiles, when no
+    accelerator exists, or when the tier already failed for these exact
+    values (warm solves must not re-pay a doomed f32 factorization)."""
+    plan = general_plan(stamps)
+    if plan.n1 < _ACCEL_MIN_N1:
+        return False
     if _accel_device_or_none() is None:
         return False
     import hashlib
@@ -894,7 +1115,7 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
     """
     import hashlib
 
-    from nodal_tpu.ops.amg import build_hierarchy, hierarchy_arrays
+    from nodal_tpu.ops.amg import build_hierarchy, pack_hierarchy
 
     # Exact-bytes fingerprint (same policy as _factorization's cache key):
     # sum/sum-of-squares moments collide on permuted value vectors — e.g.
@@ -929,19 +1150,17 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
             dev, dtype = accel, jnp.float32
         else:
             dev, dtype = jax.devices("cpu")[0], jnp.float64
+        ibuf, fbuf, meta = pack_hierarchy(cache["levels"], dtype)
         with jax.enable_x64(True):  # keep i32/f64 splits exact
-            amg, meta = hierarchy_arrays(cache["levels"], dtype)
             operands = (
-                jax.device_put(jnp.asarray(plan.a11_rows), dev),
-                jax.device_put(jnp.asarray(plan.a11_cols), dev),
-                jax.device_put(jnp.asarray(a11_vals, dtype=dtype), dev),
-                jax.device_put(amg, dev),
+                jax.device_put(jnp.asarray(ibuf), dev),
+                jax.device_put(jnp.asarray(fbuf), dev),
                 meta,
                 dev,
                 dtype,
             )
         cache["operands"][backend] = operands
-    rows, cols, vals, amg, meta, dev, dtype = operands
+    ibuf, fbuf, meta, dev, dtype = operands
 
     if backend == "accel":
         maxiter = _ACCEL_MAXITER
@@ -966,8 +1185,8 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
         with jax.enable_x64(True):
             Bdev = jax.device_put(jnp.asarray(B, dtype=dtype), dev)
             xs, infos = _multi_cg_program(
-                Bdev, rows, cols, vals, amg,
-                meta=meta, n1=n1, tol=cg_tol, maxiter=maxiter,
+                Bdev, ibuf, fbuf,
+                meta=meta, tol=cg_tol, maxiter=maxiter,
             )
         if c == width:  # skip no-op slices (each is an eager-op compile)
             return xs, infos

@@ -79,6 +79,7 @@ def make_sharded_batch_solver(
                                                   method=method)
 
     if local_pallas is not None:
+        local_fwd, local_t = local_pallas
         # Per-device Pallas kernel over the local batch shard.  shard_map
         # (not GSPMD) because pallas_call lowers to an opaque custom call
         # the SPMD partitioner cannot split; the batch axis is embarrassingly
@@ -96,19 +97,24 @@ def make_sharded_batch_solver(
         # executes at trace time.
         interp = mesh_platform != "tpu"
 
-        def local_call(*a):
+        def local_call_fwd(pb):
             with force_interpret(interp):
-                return local_pallas(*a)
+                return local_fwd(pb)
+
+        def local_call_t(pb, rhs):
+            with force_interpret(interp):
+                return local_t(pb, rhs)
 
         spec = P(("dp", "sp"), None)
         solve_batch = shard_map(
-            lambda pb: local_call(pb), mesh=mesh,
+            local_call_fwd, mesh=mesh,
             in_specs=spec, out_specs=spec, check_vma=False,
         )
-        # Adjoint pass: the same per-device kernel against the sharded
-        # cotangent (resistive ⇒ symmetric operator).
+        # Adjoint pass: the same per-device kernels against the sharded
+        # cotangent (resistive tiers are symmetric; the Schur tier swaps
+        # its border blocks — see batch._make_schur_band_solver).
         solve_rhs_t = shard_map(
-            lambda pb, rhs: local_call(pb, rhs), mesh=mesh,
+            local_call_t, mesh=mesh,
             in_specs=(spec, spec), out_specs=spec, check_vma=False,
         )
     elif resistive and not refine and bandwidth(stamps) <= 1:
@@ -166,8 +172,10 @@ def make_sharded_batch_solver(
 def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
                                method: str = "auto"):
     """Per-device (shard-local) batch solve using the single-chip Pallas
-    tiers, mirroring BatchedSolver's structure dispatch.  Returns None when
-    no Pallas tier covers this circuit (caller falls back to XLA-level).
+    tiers, mirroring BatchedSolver's structure dispatch.  Returns a
+    ``(forward, transpose)`` pair of locals — identical for the symmetric
+    resistive tiers, border-swapped for the Schur tier — or None when no
+    Pallas tier covers this circuit (caller falls back to XLA-level).
     ``method`` pins one tier (auto picks in BatchedSolver's order)."""
     from nodal_tpu.ops.assemble import assemble_tridiag, bandwidth
     from nodal_tpu.ops.pallas_band import (band_fits_stream, band_fits_vmem,
@@ -179,7 +187,7 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
 
     resistive = stamps.n == stamps.n_kcl
     if not resistive:
-        return None
+        return _pallas_local_schur_solver(stamps, dtype, method)
 
     if method in ("auto", "tridiag") and bandwidth(stamps) <= 1 \
             and pcr_fits_vmem(stamps.n):
@@ -192,7 +200,7 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
                 b = rhs.astype(b.dtype)
             return pcr_solve_padded(dl, d, du, b)
 
-        return local
+        return local, local
 
     from nodal_tpu.ops.pallas_scalar_band import (
         pallas_scalar_band_solve,
@@ -221,7 +229,7 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
                 b = splan.rhs_to_band(rhs, U.dtype)
             return splan.unpermute(core(U, b))
 
-        return local
+        return local, local
 
     if method in ("auto", "band") and plan is not None \
             and plan.nb >= 2 and (plan.kb == 128 or plan.n > 1024):
@@ -240,7 +248,7 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
                 b = plan.rhs_to_band(rhs, W.dtype)
             return plan.unpermute(core(W, b))
 
-        return local
+        return local, local
 
     if method in ("auto", "block") and lu_fits_vmem(stamps.n):
         n_pad = _pad(stamps.n)
@@ -255,8 +263,65 @@ def _pallas_local_batch_solver(stamps: StampTensors, plan, dtype,
                             [(0, 0), (0, n_pad - stamps.n)])
             return pallas_lu_solve(G, b, n_valid=stamps.n)
 
-        return local
+        return local, local
 
+    return None
+
+
+def _pallas_local_schur_solver(stamps: StampTensors, dtype,
+                               method: str = "auto"):
+    """Shard-local Schur (branch-equation) tiers — round-3 review item #3:
+    multi-chip sweeps of non-resistive circuits previously forfeited the
+    Schur fast tiers and fell to the dense core (per-sample [n, n] pivoted
+    LU).  Mirrors BatchedSolver's 'schur' dispatch: banded multi-RHS
+    kernels solve A⁻¹[B | b] on the SPD node block, a small pivoted solve
+    handles the border; the transpose local swaps the border blocks
+    (same cost) for the adjoint pass.  Returns ``(forward, transpose)``
+    or None (dense fallback)."""
+    from nodal_tpu.batch import (_make_schur_band_solver,
+                                 _schur_band_assembler, _schur_supported)
+    from nodal_tpu.ops.band import node_band_plan
+    from nodal_tpu.ops.pallas_band import (
+        band_fits_stream,
+        band_fits_vmem,
+        pallas_band_solve_multi,
+        pallas_band_solve_multi_stream,
+    )
+    from nodal_tpu.ops.pallas_block_lu import _K
+    from nodal_tpu.ops.pallas_scalar_band import (
+        pallas_scalar_band_solve_multi,
+        pallas_scalar_band_solve_stream_multi,
+        sband_fits_stream,
+        sband_fits_vmem,
+    )
+    from nodal_tpu.ops.scalar_band import node_sband_plan
+
+    if method not in ("auto", "schur"):
+        return None
+    nk = stamps.n_kcl
+    kbe = stamps.n - nk
+    if kbe >= _K or nk < 256 or not _schur_supported(stamps):
+        return None
+
+    nsplan = node_sband_plan(stamps)
+    if nsplan is not None and (
+            sband_fits_vmem(nsplan.n_pad, nsplan.W1, kbe + 1)
+            or sband_fits_stream(nsplan.n_pad, nsplan.W1, kbe + 1)):
+        multi = (pallas_scalar_band_solve_multi
+                 if sband_fits_vmem(nsplan.n_pad, nsplan.W1, kbe + 1)
+                 else pallas_scalar_band_solve_stream_multi)
+        assemble = _schur_band_assembler(stamps, jnp.float32, nsplan)
+        return _make_schur_band_solver(assemble, multi, nsplan, nk, kbe)
+
+    nplan = node_band_plan(stamps)
+    if nplan is not None and nplan.nb >= 2 \
+            and (nplan.kb == 128 or nplan.n > 1024) \
+            and band_fits_stream(nplan.n_pad, nplan.kb):
+        multi = (pallas_band_solve_multi
+                 if band_fits_vmem(nplan.n_pad, nplan.kb)
+                 else pallas_band_solve_multi_stream)
+        assemble = _schur_band_assembler(stamps, jnp.float32, nplan)
+        return _make_schur_band_solver(assemble, multi, nplan, nk, kbe)
     return None
 
 

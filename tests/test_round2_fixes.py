@@ -37,10 +37,14 @@ def test_monte_carlo_audit_reports_residual():
 def test_monte_carlo_audit_flags_negative_samples(caplog):
     # Relative sigma 1.0 draws negative resistances in ~16% of samples,
     # leaving the no-pivot tridiag fast path's diagonal-dominance domain.
+    # The RAW tier (refine=False) must still measure and flag that; the
+    # round-4 default (refine="auto") instead rescues such samples — see
+    # tests/test_contract_tier.py.
     circuit = Circuit(Netlist.from_rows(ladder_rows(64)))
     tolerances = {k: 1.0 for k in circuit.stamps.param_slot}
     with caplog.at_level("WARNING", logger="nodal_tpu.batch"):
-        out = monte_carlo(circuit, tolerances, n=256, seed=0)
+        out = monte_carlo(circuit, tolerances, n=256, seed=0,
+                          refine=False)
     assert out["max_residual"] > 1e-3
     assert any("diagonal-dominance" in r.message for r in caplog.records)
 
