@@ -327,6 +327,18 @@ def offsets(red: EReduction, stamps: StampTensors, params) -> np.ndarray:
     ``e_child = e_parent ± V``."""
     V = params[stamps.anom_slot[red.tree_edge]] if len(red.tree_edge) \
         else np.zeros(0)
+    return offsets_from_branch_values(red, V)
+
+
+def offsets_from_branch_values(red: EReduction, V) -> np.ndarray:
+    """:func:`offsets` with explicit per-tree-edge branch voltages ``V``
+    (one entry per ``red.tree_edge``) instead of netlist parameters.
+
+    Used by the outer defect-correction loop in
+    ``sparse_schur.solve_general_auto``: a correction system ``G dx = r``
+    has branch-row "voltages" ``r[n_kcl + tree_edge]`` (roundoff-scale,
+    but carrying them keeps each pass an exact solve of the residual
+    equation rather than an approximation of it)."""
     q = np.zeros(red.n_kcl, dtype=np.float64)
     sign = np.where(red.tree_child_is_anode, 1.0, -1.0)
     ls = red.level_starts

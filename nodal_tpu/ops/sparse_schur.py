@@ -644,21 +644,70 @@ def solve_general_auto(
             return np.full(stamps.n, np.nan), info
 
     x = reduce_e.expand_solution(red, stamps, x_red, g_vals, b_full, q)
-    # Audit on the ORIGINAL system (the reduction and recovery are exact
-    # in exact arithmetic; this guards f64 roundoff on deep source trees).
-    y = np.zeros(stamps.n)
-    with np.errstate(invalid="ignore"):
-        np.add.at(y, stamps.g_rows.astype(np.int64),
-                  g_vals * x[stamps.g_cols.astype(np.int64)])
+
+    # Audit on the ORIGINAL system.  The reduction and recovery are exact
+    # in exact arithmetic, but the inner solve's residual (targeted at
+    # ``tol`` relative to the REDUCED right-hand side) is amplified by the
+    # lift — group-sum row splitting and tree-peeled current recovery
+    # spread one reduced-row defect over several original rows (measured
+    # ~350x on the 40k-node bench circuit: inner 1e-9 → full 3.5e-7).
+    gr = stamps.g_rows.astype(np.int64)
+    gc = stamps.g_cols.astype(np.int64)
     b_scale = max(float(np.max(np.abs(b_full))) if stamps.n else 0.0, 1.0)
-    rel = float(np.max(np.abs(b_full - y))) / b_scale
-    # Inner refinement targets ``tol`` on the reduced system; the lift
-    # adds only f64 roundoff (offset sums along source trees), so allow a
-    # 10x margin before declaring the solve degraded.
+
+    def full_residual(xv):
+        y = np.zeros(stamps.n)
+        with np.errstate(invalid="ignore"):
+            np.add.at(y, gr, g_vals * xv[gc])
+        return b_full - y
+
+    r = full_residual(x)
+    rel = float(np.max(np.abs(r))) / b_scale
+    total_iters = int(info.iterations)
+
+    # Outer defect correction through the SAME reduction + cached
+    # factorization: solve ``G dx = r`` (branch-row offsets come from r
+    # itself), lift, add.  One pass contracts the full-system residual by
+    # another factor of ~tol, restoring direct-solver accuracy at the
+    # cost of one cheap CG pass + back-substitution per pass.  The loop
+    # drives past ``tol`` toward the f64 floor (the no-improvement break
+    # below stops it) so the delivered residual matches the direct host
+    # path (~1e-13..1e-15), not merely the requested tolerance.
+    floor = min(tol, 1e-13)
+    passes = 0
+    while (np.isfinite(rel) and rel > floor and passes < 4
+           and bool(info.converged)):
+        V_r = (r[red.n_kcl + red.tree_edge] if len(red.tree_edge)
+               else np.zeros(0))
+        q0 = reduce_e.offsets_from_branch_values(red, V_r)
+        r_red = reduce_e.reduced_rhs(red, stamps, g_vals, r, q0)
+        if red.n_red:
+            dx_red, dinfo = solve_general_sparse(
+                red.stamps_red, params, rhs=r_red, tol=tol,
+                setup_tol=setup_tol,
+            )
+            total_iters += int(dinfo.iterations)
+            if not (bool(dinfo.converged)
+                    and np.all(np.isfinite(dx_red))):
+                break
+        else:
+            dx_red = np.zeros(0)
+        dx = reduce_e.expand_solution(red, stamps, dx_red, g_vals, r, q0)
+        x_new = x + dx
+        r_new = full_residual(x_new)
+        rel_new = float(np.max(np.abs(r_new))) / b_scale
+        passes += 1
+        if not np.isfinite(rel_new) or rel_new >= rel:
+            break  # no improvement — keep x; roundoff floor reached
+        stalled = rel_new >= 0.5 * rel
+        x, r, rel = x_new, r_new, rel_new
+        if stalled:
+            break  # improvement but no real contraction
+
     ok = np.isfinite(rel) and rel <= 10 * tol and bool(info.converged)
     return x, GeneralSolveInfo(
         residual=np.float64(rel),
-        iterations=info.iterations,
+        iterations=np.int64(total_iters),
         converged=np.bool_(bool(ok)),
         method=f"ereduce+{info.method}" if red.n_red else "ereduce",
     )
@@ -932,16 +981,59 @@ def solve_general_auto_transpose(
 
     y = reduce_e.expand_solution_transpose(red, stamps, y_red, g_vals,
                                            c_full, p)
-    z = np.zeros(stamps.n)
-    with np.errstate(invalid="ignore"):
-        np.add.at(z, stamps.g_cols.astype(np.int64),
-                  g_vals * y[stamps.g_rows.astype(np.int64)])
+
+    gr = stamps.g_rows.astype(np.int64)
+    gc = stamps.g_cols.astype(np.int64)
     c_scale = max(float(np.max(np.abs(c_full))) if stamps.n else 0.0, 1.0)
-    rel = float(np.max(np.abs(c_full - z))) / c_scale
+
+    def full_residual_t(yv):
+        z = np.zeros(stamps.n)
+        with np.errstate(invalid="ignore"):
+            np.add.at(z, gc, g_vals * yv[gr])
+        return c_full - z
+
+    r = full_residual_t(y)
+    rel = float(np.max(np.abs(r))) / c_scale
+    total_iters = int(info.iterations)
+
+    # Outer defect correction — the transpose mirror of the forward
+    # loop: the lift amplifies the reduced-system residual, so solve
+    # ``Gᵀ dy = r`` through the same reduction + cached factorization,
+    # driven past ``tol`` toward the f64 floor like the forward loop.
+    floor = min(tol, 1e-13)
+    passes = 0
+    while (np.isfinite(rel) and rel > floor and passes < 4
+           and bool(info.converged)):
+        p0 = reduce_e.offsets_transpose(red, r)
+        r_red = reduce_e.reduced_rhs_transpose(red, stamps, g_vals, r, p0)
+        if red.n_red:
+            dy_red, dinfo = solve_general_sparse_transpose(
+                red.stamps_red, params, rhs=r_red, tol=tol,
+                setup_tol=setup_tol,
+            )
+            total_iters += int(dinfo.iterations)
+            if not (bool(dinfo.converged)
+                    and np.all(np.isfinite(dy_red))):
+                break
+        else:
+            dy_red = np.zeros(0)
+        dy = reduce_e.expand_solution_transpose(red, stamps, dy_red,
+                                                g_vals, r, p0)
+        y_new = y + dy
+        r_new = full_residual_t(y_new)
+        rel_new = float(np.max(np.abs(r_new))) / c_scale
+        passes += 1
+        if not np.isfinite(rel_new) or rel_new >= rel:
+            break  # no improvement — keep y; roundoff floor reached
+        stalled = rel_new >= 0.5 * rel
+        y, r, rel = y_new, r_new, rel_new
+        if stalled:
+            break
+
     ok = np.isfinite(rel) and rel <= 10 * tol and bool(info.converged)
     return y, GeneralSolveInfo(
         residual=np.float64(rel),
-        iterations=info.iterations,
+        iterations=np.int64(total_iters),
         converged=np.bool_(bool(ok)),
         method=f"ereduce+{info.method}" if red.n_red else "ereduce-T",
     )
@@ -1170,14 +1262,26 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
         cg_tol = float(tol)
 
     def solve_cols(B):
-        # Pad the batch to width 1 or _RHS_CHUNK so every chunk of a
-        # multi-RHS sweep and the 1-wide refinement solves share exactly
-        # TWO compiled programs (power-of-two padding compiled SIX — the
-        # dominant cold cost at 40k nodes before arrays became arguments).
-        # Zero columns converge in 0 iterations.
+        # Pad EVERY batch to _RHS_CHUNK so all of a topology's solves —
+        # multi-RHS YB sweep chunks, the b1 solve, every refinement pass —
+        # share exactly ONE compiled program.  A separate width-1 program
+        # looks cheaper but is a remote-compile pathology: measured on the
+        # v5e tunnel at n1≈40k, the [1, n1] vmapped CG program took 402 s
+        # to compile where the [32, n1] one took 4.2 s (and power-of-two
+        # padding compiled SIX programs).  Execution cost of the padding
+        # is negligible — zero columns converge in 0 iterations and ride
+        # the batched while_loop select-frozen (0.5 s vs 0.3 s per
+        # launch).  Width-1 calls dominate refinement, so this is the
+        # difference between a ~5 s and a ~400 s cold solve.  The host
+        # CPU tier keeps the width-1 program: XLA:CPU compiles it in
+        # milliseconds and executes vmap lanes sequentially, so padding
+        # would multiply every refinement pass's work by the chunk width.
         B = np.asarray(B, dtype=np.float64)
         c = B.shape[0]
-        width = 1 if c == 1 else _RHS_CHUNK
+        if backend == "accel":
+            width = _RHS_CHUNK
+        else:
+            width = 1 if c == 1 else _RHS_CHUNK
         if c < width:
             B = np.concatenate(
                 [B, np.zeros((width - c,) + B.shape[1:])], axis=0
