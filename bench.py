@@ -351,7 +351,7 @@ def bench_gradient(n_nodes: int, batch: int):
     }
 
 
-def bench_general_sparse(n_nodes: int):
+def bench_general_sparse(n_nodes: int, h: int = 100):
     """The SuperLU-robustness metric (round-2 review item #1): a large
     general MNA system — resistor mesh + E + VCCS + CCCS, grounded ONLY
     through the voltage sources — solved via the `-s` bordered block
@@ -370,7 +370,6 @@ def bench_general_sparse(n_nodes: int):
     from nodal_tpu.models.stamps import stamp_values_np
     from nodal_tpu.utils.gridgen import grid_rows
 
-    h = 100
     w = max(n_nodes // h, 8)
     rows = list(grid_rows(h, w))
     # Distinct columns (duplicate E node pairs would be contradictory
@@ -423,7 +422,8 @@ def bench_general_sparse(n_nodes: int):
     }
 
 
-def bench_large_border(n_nodes: int = 40_000, prefix: str = "sparse_ebig"):
+def bench_large_border(n_nodes: int = 40_000, prefix: str = "sparse_ebig",
+                       h: int = 100):
     """The round-3 verdict's one MISSING capability, now benched: a mesh
     whose ideal-source border (~8.4k E rows) exceeds the dense-Schur cap
     by 2x.  The supernode reduction (ops/reduce_e.py) eliminates every E
@@ -435,18 +435,18 @@ def bench_large_border(n_nodes: int = 40_000, prefix: str = "sparse_ebig"):
     from nodal_tpu.ops.reduce_e import e_reduction_or_none
     from nodal_tpu.utils.gridgen import grid_rows
 
-    h = 100
-    w = max(n_nodes // h, 44)
+    w = max(n_nodes // h, 4)
     rows = list(grid_rows(h, w))
     for col in range(w):
         rows.append([f"eg{col}", "E", str(1.0 + 0.001 * col),
                      f"n0_{col}", "g"])
-    for r in range(2, 42, 2):
+    e_rows = list(range(2, min(42, h - 1), 2))
+    for r in e_rows:
         for col in range(w):
             rows.append([f"e{r}_{col}", "E", str(0.01 * r),
                          f"n{r}_{col}", f"n{r + 1}_{col}"])
     c = Circuit(Netlist.from_rows(rows), sparse=True)
-    n_e = w + 20 * w
+    n_e = w + len(e_rows) * w
 
     t0 = time.perf_counter()
     sol = c.solve()
@@ -478,7 +478,11 @@ def bench_opmodel_chain(n_stages: int = 2500, prefix: str = "opmodel"):
     voltage-follower macromodels (Ri=1e7/Ro=10/gain=1e5 — condition
     ~1e12) buffering a resistive ladder, ~10k unknowns through the `-s`
     rescue/bordered path.  Reports achieved residual — the ill-conditioned
-    regime the f32 tiers cannot touch."""
+    regime the f32 tiers cannot touch, so the bench requests the f64 host
+    path explicitly (the gain rows put ||G||~1e5, so an f32 backward-stable
+    solve leaves |r|/|b| ~ 1e-3 even when the *solution* is accurate)."""
+    import numpy as _np
+
     from nodal_tpu import Circuit, Netlist
     from nodal_tpu.models.stamps import stamp_values_np
 
@@ -486,14 +490,16 @@ def bench_opmodel_chain(n_stages: int = 2500, prefix: str = "opmodel"):
     prev = "in0"
     for k in range(n_stages):
         out = f"o{k}"
-        # voltage follower: OPMODEL pos=prev neg=out out=out rf=0
-        rows.append([f"u{k}", "OPMODEL", "0", prev, out, out])
+        # Voltage follower: rf=0, neg tied to out.  OPMODEL row layout is
+        # [name, OPMODEL, rf, out, ground, pos, neg] (netlist.py:139-160;
+        # reference nodal.py:45-85) — 7 fields.
+        rows.append([f"u{k}", "OPMODEL", "0", out, "g", prev, out])
         rows.append([f"rl{k}", "R", "100", out, "g"])
         nxt = f"in{k + 1}"
         rows.append([f"rs{k}", "R", "10", out, nxt])
         rows.append([f"rg{k}", "R", "1000", nxt, "g"])
         prev = nxt
-    c = Circuit(Netlist.from_rows(rows), sparse=True)
+    c = Circuit(Netlist.from_rows(rows), sparse=True, dtype=_np.float64)
 
     t0 = time.perf_counter()
     sol = c.solve()
@@ -565,6 +571,108 @@ def bench_grid(n: int, tol: float, k: int = 4):
     return r, dt, iters, marginal
 
 
+def _stage_general(args):
+    """General (non-chain) topology: the round-1 review's headline gap.
+    Three tiers: default (refine='auto' — the 1e-6 accuracy contract),
+    raw f32 (refine=False), full f64-refined; plus the branch path."""
+    (gen_sps, gen_dt, gen_err, gen_audit, gen_method,
+     gen_sust) = bench_batched_solves(
+        _mesh_circuit(args.nodes), args.general_batch, args.reps
+    )
+    (genw_sps, _genw_dt, genw_err, genw_audit, _m,
+     genw_sust) = bench_batched_solves(
+        _mesh_circuit(args.nodes), args.general_batch, args.reps,
+        refine=False,
+    )
+    (genr_sps, genr_dt, genr_err, genr_audit, _genr_method,
+     genr_sust) = bench_batched_solves(
+        _mesh_circuit(args.nodes), args.general_batch, args.reps,
+        refine=True,
+    )
+    (br_sps, br_dt, br_err, br_audit, br_method,
+     br_sust) = bench_batched_solves(
+        _branch_circuit(args.nodes), args.general_batch, args.reps
+    )
+    mesh_stamps = _mesh_circuit(args.nodes).stamps
+    out = {
+        "general_solves_per_sec_1000_nodes": round(gen_sps, 2),
+        "general_method": gen_method,
+        "general_batch_size": args.general_batch,
+        "general_rel_err_vs_f64": gen_err,
+        "general_max_residual": gen_audit,
+        "general_sustained_solves_per_sec": round(gen_sust, 2),
+        "general_vs_baseline": round(gen_sps / BASELINE_SOLVES_PER_SEC, 2),
+        "general_raw_solves_per_sec": round(genw_sps, 2),
+        "general_raw_sustained_solves_per_sec": round(genw_sust, 2),
+        "general_raw_rel_err_vs_f64": genw_err,
+        "general_raw_max_residual": genw_audit,
+        "general_refined_solves_per_sec": round(genr_sps, 2),
+        "general_refined_sustained_solves_per_sec": round(genr_sust, 2),
+        "general_refined_rel_err_vs_f64": genr_err,
+        "general_refined_max_residual": genr_audit,
+        "branch_solves_per_sec_1000_nodes": round(br_sps, 2),
+        "branch_method": br_method,
+        "branch_rel_err_vs_f64": br_err,
+        "branch_max_residual": br_audit,
+        "branch_sustained_solves_per_sec": round(br_sust, 2),
+        "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
+    }
+    out.update({f"general_raw_{k}": v for k, v in _roofline(
+        _tier_cost_model("sband", mesh_stamps), genw_sust).items()})
+    return out
+
+
+def _stage_midsize(mid_nodes: int, tag: str, batch: int):
+    """Mid-size tiers past the VMEM-resident band kernel (streaming path).
+    The DEFAULT row is the contract tier (error ≤1e-6 — round-4 review
+    item #2 moved the gate from residual to error); raw f32 and
+    full-refined bracket it."""
+    mid_circuit = _mesh_circuit(mid_nodes)
+    (mid_sps, mid_dt, mid_err, mid_audit, mid_method,
+     mid_sust) = bench_batched_solves(mid_circuit, batch, 2)
+    out = {
+        f"{tag}_nodes": mid_nodes,
+        f"{tag}_solves_per_sec": round(mid_sps, 2),
+        f"{tag}_method": mid_method,
+        f"{tag}_rel_err_vs_f64": mid_err,
+        f"{tag}_max_residual": mid_audit,
+        f"{tag}_sustained_solves_per_sec": round(mid_sust, 2),
+    }
+    raw_sps, _, raw_err, raw_audit, _, raw_sust = bench_batched_solves(
+        mid_circuit, batch, 2, refine=False
+    )
+    ref_sps, _, ref_err, ref_audit, _, ref_sust = bench_batched_solves(
+        mid_circuit, batch, 2, refine=True
+    )
+    out.update(
+        {
+            f"{tag}_raw_solves_per_sec": round(raw_sps, 2),
+            f"{tag}_raw_rel_err_vs_f64": raw_err,
+            f"{tag}_raw_max_residual": raw_audit,
+            f"{tag}_raw_sustained_solves_per_sec": round(raw_sust, 2),
+            f"{tag}_refined_solves_per_sec": round(ref_sps, 2),
+            f"{tag}_refined_rel_err_vs_f64": ref_err,
+            f"{tag}_refined_max_residual": ref_audit,
+            f"{tag}_refined_sustained_solves_per_sec": round(ref_sust, 2),
+        }
+    )
+    out.update({f"{tag}_raw_{k}": v for k, v in _roofline(
+        _tier_cost_model(mid_method, mid_circuit.stamps),
+        raw_sust).items()})
+    return out
+
+
+def _stage_grid(args):
+    r, grid_dt, iters, marginal = bench_grid(args.grid, args.grid_tol)
+    return {
+        "grid_n": args.grid * args.grid,
+        "grid_solve_s": round(grid_dt, 4),
+        "grid_solve_marginal_s": round(marginal, 4),
+        "grid_cg_iters": iters,
+        "grid_R_knights_move": round(r, 6),
+    }
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default=None, help="force jax platform")
@@ -591,10 +699,27 @@ def main(argv=None):
     parser.add_argument("--sparse-nodes", type=int, default=100_000,
                         help="node count for the general-sparse (`-s` "
                         "bordered elimination) metric")
+    parser.add_argument("--sparse40k-nodes", type=int, default=40_000)
+    parser.add_argument("--sparse-h", type=int, default=100,
+                        help="mesh height for the sparse stages (smoke "
+                        "runs shrink it)")
+    parser.add_argument("--ebig-nodes", type=int, default=40_000)
+    parser.add_argument("--opmodel-stages", type=int, default=2500)
+    parser.add_argument("--mc-samples", type=int, default=10_000)
+    parser.add_argument("--mc-sub-samples", type=int, default=4096,
+                        help="samples for the mesh/branch MC variants")
     parser.add_argument("--skip-sparse", action="store_true")
     parser.add_argument("--skip-mc", action="store_true")
     parser.add_argument("--skip-grad", action="store_true")
+    parser.add_argument("--budget", type=float,
+                        default=float(os.environ.get(
+                            "NODAL_BENCH_BUDGET_S", "690")),
+                        help="wall-clock budget (s); stages that have not "
+                        "STARTED once it is exhausted are skipped loudly "
+                        "(NODAL_BENCH_BUDGET_S overrides the default)")
     args = parser.parse_args(argv)
+
+    t_start = time.perf_counter()
 
     import jax
 
@@ -609,6 +734,7 @@ def main(argv=None):
 
     backend = jax.default_backend()
 
+    # Headline stage always runs (it IS the metric line).
     (solves_per_sec, dt, err, audit, method,
      sustained) = bench_batched_solves(
         _ladder_circuit(args.nodes), args.batch, args.reps, args.method
@@ -625,144 +751,94 @@ def main(argv=None):
     }
     extra.update({f"batched_{k}": v for k, v in _roofline(
         _tier_cost_model(method, ladder_circuit.stamps), sustained).items()})
-    if not args.skip_general:
-        # General (non-chain) topology: the round-1 review's headline gap.
-        # Three tiers: default (refine='auto' — the 1e-6 accuracy contract
-        # held by escalation), raw f32 (refine=False), full f64-refined.
-        (gen_sps, gen_dt, gen_err, gen_audit, gen_method,
-         gen_sust) = bench_batched_solves(
-            _mesh_circuit(args.nodes), args.general_batch, args.reps
-        )
-        (genw_sps, _genw_dt, genw_err, genw_audit, _m,
-         genw_sust) = bench_batched_solves(
-            _mesh_circuit(args.nodes), args.general_batch, args.reps,
-            refine=False,
-        )
-        (genr_sps, genr_dt, genr_err, genr_audit, _genr_method,
-         genr_sust) = bench_batched_solves(
-            _mesh_circuit(args.nodes), args.general_batch, args.reps,
-            refine=True,
-        )
-        (br_sps, br_dt, br_err, br_audit, br_method,
-         br_sust) = bench_batched_solves(
-            _branch_circuit(args.nodes), args.general_batch, args.reps
-        )
-        mesh_stamps = _mesh_circuit(args.nodes).stamps
-        extra.update(
-            {
-                "general_solves_per_sec_1000_nodes": round(gen_sps, 2),
-                "general_method": gen_method,
-                "general_batch_size": args.general_batch,
-                "general_rel_err_vs_f64": gen_err,
-                "general_max_residual": gen_audit,
-                "general_sustained_solves_per_sec": round(gen_sust, 2),
-                "general_vs_baseline": round(gen_sps / BASELINE_SOLVES_PER_SEC, 2),
-                "general_raw_solves_per_sec": round(genw_sps, 2),
-                "general_raw_sustained_solves_per_sec": round(genw_sust, 2),
-                "general_raw_rel_err_vs_f64": genw_err,
-                "general_raw_max_residual": genw_audit,
-                "general_refined_solves_per_sec": round(genr_sps, 2),
-                "general_refined_sustained_solves_per_sec": round(
-                    genr_sust, 2),
-                "general_refined_rel_err_vs_f64": genr_err,
-                "general_refined_max_residual": genr_audit,
-                "branch_solves_per_sec_1000_nodes": round(br_sps, 2),
-                "branch_method": br_method,
-                "branch_rel_err_vs_f64": br_err,
-                "branch_max_residual": br_audit,
-                "branch_sustained_solves_per_sec": round(br_sust, 2),
-                "branch_vs_baseline": round(br_sps / BASELINE_SOLVES_PER_SEC, 2),
-            }
-        )
-        extra.update({f"general_raw_{k}": v for k, v in _roofline(
-            _tier_cost_model("sband", mesh_stamps), genw_sust).items()})
+
+    stage_times: dict = {"ladder": round(time.perf_counter() - t_start, 1)}
+    skipped: list = []
+    errors: dict = {}
+
+    def emit():
+        """(Re-)print the full JSON line after every stage: a timeout or
+        crash in a later stage must still leave a parseable artifact with
+        everything measured so far (round-4 review item #1 — BENCH_r04
+        was rc=124 with an empty tail)."""
+        payload = {
+            "metric": f"batched_solves_per_sec_{args.nodes}_nodes",
+            "value": round(solves_per_sec, 2),
+            "unit": "solves/s",
+            "vs_baseline": round(
+                solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
+            **extra,
+            "stage_times_s": stage_times,
+        }
+        if skipped:
+            payload["skipped_stages"] = list(skipped)
+        if errors:
+            payload["stage_errors"] = dict(errors)
+        print(json.dumps(payload), flush=True)
+
+    emit()
+
+    # Remaining stages, highest information value first: a budget overrun
+    # drops the cheapest-to-rerun tail, never the contract/sparse proof
+    # points.  Each stage is isolated: one crash records an error field
+    # instead of zeroing the whole artifact.
+    stages = []
+    if not args.skip_sparse:
+        # The scale BASELINE.md actually measured the reference at
+        # (SuperLU solve 0.79 s after 9.25 s Python stamping) — the
+        # directly comparable cold/warm one-shot numbers.
+        stages.append(("sparse40k", lambda: {
+            f"sparse40k_{k.split('_', 1)[1]}": v
+            for k, v in bench_general_sparse(
+                args.sparse40k_nodes, h=args.sparse_h).items()
+        }))
     for i, mid_nodes in enumerate(args.midsize_nodes):
-        # Mid-size tiers: past the VMEM-resident band kernel, exercising
-        # the streaming (grid-pipelined) path.  The DEFAULT row is the
-        # escalating contract tier (round-3 review item #4: default-path
-        # rel err must be <= 1e-6); raw f32 and full-refined bracket it.
         tag = "midsize" if i == 0 else f"midsize_{mid_nodes}"
-        mid_circuit = _mesh_circuit(mid_nodes)
-        (mid_sps, mid_dt, mid_err, mid_audit, mid_method,
-         mid_sust) = bench_batched_solves(
-            mid_circuit, args.midsize_batch, 2
-        )
-        extra.update(
-            {
-                f"{tag}_nodes": mid_nodes,
-                f"{tag}_solves_per_sec": round(mid_sps, 2),
-                f"{tag}_method": mid_method,
-                f"{tag}_rel_err_vs_f64": mid_err,
-                f"{tag}_max_residual": mid_audit,
-                f"{tag}_sustained_solves_per_sec": round(mid_sust, 2),
-            }
-        )
-        raw_sps, _, raw_err, raw_audit, _, raw_sust = bench_batched_solves(
-            mid_circuit, args.midsize_batch, 2, refine=False
-        )
-        ref_sps, _, ref_err, ref_audit, _, ref_sust = bench_batched_solves(
-            mid_circuit, args.midsize_batch, 2, refine=True
-        )
-        extra.update(
-            {
-                f"{tag}_raw_solves_per_sec": round(raw_sps, 2),
-                f"{tag}_raw_rel_err_vs_f64": raw_err,
-                f"{tag}_raw_max_residual": raw_audit,
-                f"{tag}_raw_sustained_solves_per_sec": round(raw_sust, 2),
-                f"{tag}_refined_solves_per_sec": round(ref_sps, 2),
-                f"{tag}_refined_rel_err_vs_f64": ref_err,
-                f"{tag}_refined_max_residual": ref_audit,
-                f"{tag}_refined_sustained_solves_per_sec": round(ref_sust, 2),
-            }
-        )
-        extra.update({f"{tag}_raw_{k}": v for k, v in _roofline(
-            _tier_cost_model(mid_method, mid_circuit.stamps),
-            raw_sust).items()})
+        stages.append((tag, lambda m=mid_nodes, t=tag: _stage_midsize(
+            m, t, args.midsize_batch)))
+    if not args.skip_sparse:
+        stages.append(("sparse", lambda: bench_general_sparse(
+            args.sparse_nodes, h=args.sparse_h)))
+        stages.append(("ebig", lambda: bench_large_border(
+            args.ebig_nodes, h=args.sparse_h)))
+        stages.append(("opmodel", lambda: bench_opmodel_chain(
+            args.opmodel_stages)))
+    if not args.skip_general:
+        stages.append(("general", lambda: _stage_general(args)))
     if not args.skip_mc:
-        extra.update(bench_monte_carlo())
+        stages.append(("mc", lambda: bench_monte_carlo(
+            n_samples=args.mc_samples)))
         # Non-trivial Monte Carlo headlines (round-3 review item #6): a
         # 1k-node mesh (sband tier) and a branch-equation circuit (Schur
         # tier) — the tiers where the sweep does real O(n·w²) work.
-        extra.update(bench_monte_carlo(
-            1000, 4096, circuit_fn=_mesh_circuit, prefix="mc_mesh"))
-        extra.update(bench_monte_carlo(
-            1000, 4096, circuit_fn=_branch_circuit, prefix="mc_branch"))
+        stages.append(("mc_mesh", lambda: bench_monte_carlo(
+            1000, args.mc_sub_samples, circuit_fn=_mesh_circuit,
+            prefix="mc_mesh")))
+        stages.append(("mc_branch", lambda: bench_monte_carlo(
+            1000, args.mc_sub_samples, circuit_fn=_branch_circuit,
+            prefix="mc_branch")))
     if not args.skip_grad:
-        extra.update(bench_gradient(args.nodes, args.general_batch))
-    if not args.skip_sparse:
-        # 40k first: the scale BASELINE.md actually measured the reference
-        # at (SuperLU solve 0.79 s after 9.25 s Python stamping) — the
-        # directly comparable cold/warm one-shot numbers.
-        extra.update({
-            f"sparse40k_{k.split('_', 1)[1]}": v
-            for k, v in bench_general_sparse(40_000).items()
-        })
-        extra.update(bench_general_sparse(args.sparse_nodes))
-        extra.update(bench_large_border())
-        extra.update(bench_opmodel_chain())
+        stages.append(("grad", lambda: bench_gradient(
+            args.nodes, args.general_batch)))
     if not args.skip_grid:
-        r, grid_dt, iters, marginal = bench_grid(args.grid, args.grid_tol)
-        extra.update(
-            {
-                "grid_n": args.grid * args.grid,
-                "grid_solve_s": round(grid_dt, 4),
-                "grid_solve_marginal_s": round(marginal, 4),
-                "grid_cg_iters": iters,
-                "grid_R_knights_move": round(r, 6),
-            }
-        )
+        stages.append(("grid", lambda: _stage_grid(args)))
 
-    print(
-        json.dumps(
-            {
-                "metric": f"batched_solves_per_sec_{args.nodes}_nodes",
-                "value": round(solves_per_sec, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
-                **extra,
-            }
-        )
-    )
+    for name, fn in stages:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > args.budget:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        try:
+            extra.update(fn())
+        except Exception as exc:  # noqa: BLE001 — isolate, record, continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        stage_times[name] = round(time.perf_counter() - t0, 1)
+        emit()
+    if skipped:
+        print(f"# bench: budget {args.budget:.0f}s exhausted; skipped "
+              f"stages: {', '.join(skipped)}", file=sys.stderr)
+    emit()
     return 0
 
 
