@@ -53,9 +53,12 @@ def test_monte_carlo_exact_audit():
     out_fused = monte_carlo(c, {"rs0": 0.05, "rp3": 0.05}, n=32, seed=1)
     assert np.isfinite(exact)
     assert exact < 1e-5
-    # Exact f64 audit is at least as tight as the fused sweep-precision one
-    # and both see the same draws.
-    assert exact <= out_fused["max_residual"] * 1.5 + 1e-12
+    # Exact f64 audit agrees with the fused sweep-precision one on the
+    # same draws.  Since round 5 the default tier defect-corrects every
+    # batch, so BOTH numbers sit at the f64 noise floor — the ratio check
+    # needs an absolute floor-level slack (two independently-rounded
+    # ~1e-13 audits can differ by more than 1.5x).
+    assert exact <= out_fused["max_residual"] * 1.5 + 1e-10
 
 
 def test_equiv_many_gate_scale_invariant():
