@@ -261,6 +261,31 @@ def _cpu_scope():
     return jax.default_device(cpu)
 
 
+def _skyline_plan_of(stamps: StampTensors, plan: GeneralPlan):
+    """Cached pattern plan for the native skyline direct tier, or None
+    when the RCM profile of A11 blows the memory/FLOP caps (irregular
+    graphs) — topology-level, shared across parameter values."""
+    sentinel = getattr(stamps, "_skyline_plan", "missing")
+    if sentinel != "missing":
+        return sentinel
+    from nodal_tpu.ops import skyline
+
+    splan = None
+    if skyline.available() and plan.n1 > 0:
+        splan = skyline.plan_skyline(plan.n1, plan.a11_rows, plan.a11_cols)
+    stamps._skyline_plan = splan  # type: ignore[attr-defined]
+    return splan
+
+
+def _native_viable(stamps: StampTensors, plan: GeneralPlan) -> bool:
+    """Is the native skyline tier worth attempting?  Pattern feasibility
+    plus a not-previously-failed flag (pivot failures mark the value
+    fingerprint so repeated solves don't retry a non-SPD block)."""
+    if os.environ.get("NODAL_TPU_NO_SKYLINE", "0") == "1":
+        return False
+    return _skyline_plan_of(stamps, plan) is not None
+
+
 def _value_blocks(stamps: StampTensors, plan: GeneralPlan, g_vals):
     """Numeric blocks of the partition for one value vector: deduped A11
     values, the dense A22 block, and the A21/A12 couplings as
@@ -514,17 +539,31 @@ def solve_general_sparse(
         return x, float(np.max(np.abs(r))) / b_scale, True
 
     cg_tol = min(max(setup_tol, tol), 1e-3)
-    # Backend chain: the accelerator (TPU f32 CG + exact-f64 outer defect
-    # correction) first when one exists — the m+1 YB/b1 solves are the
-    # batched work the chip is for — with the host f64 path as the exact
-    # fallback whenever the f32 tier cannot carry refinement to tol
-    # (severely ill-conditioned A11, f32 CG plateau).
+    # Backend chain (round-5 order): native skyline LDLᵀ first — exact
+    # f64 direct solves with no compile latency and no iteration, the
+    # SuperLU-role tier (cpp/skyline.cpp) — whenever A11's RCM profile is
+    # affordable; then the accelerator (TPU f32 CG + exact-f64 outer
+    # defect correction) — the m+1 YB/b1 solves are the batched work the
+    # chip is for; then the host f64 AMG-CG path as the exact fallback.
     method = "schur"
     x, rel = None, np.inf
-    if _try_accel(stamps, g_vals):
-        x, rel, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
-                                   "accel")
+    if _native_viable(stamps, plan):
+        from nodal_tpu.ops.skyline import SkylineUnavailable
+
+        try:
+            x, rel, _stalled = attempt(tol, "native")
+        except SkylineUnavailable as e:
+            logger.info("skyline tier unavailable (%s); falling back", e)
         if x is not None and np.isfinite(rel) and rel <= tol:
+            method = "schur-skyline"
+    if (x is None or not (np.isfinite(rel) and rel <= tol)) \
+            and _try_accel(stamps, g_vals):
+        xa, rela, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
+                                     "accel")
+        if xa is not None and (x is None or rela < rel
+                               or not np.isfinite(rel)):
+            x, rel = xa, rela
+        if xa is not None and np.isfinite(rela) and rela <= tol:
             method = "schur-tpu"
         else:
             _mark_accel_failed(stamps, g_vals)
@@ -848,15 +887,28 @@ def solve_general_sparse_transpose(
         return y, float(np.max(np.abs(r))) / c_scale, True
 
     cg_tol = min(max(setup_tol, tol), 1e-3)
-    # Same backend chain as the forward solve: accelerator f32 tier first
-    # (shares the forward factorization cache — A11 is symmetric), host
-    # f64 rebuild when it cannot reach tol.
+    # Same backend chain as the forward solve (native skyline first —
+    # A11 is symmetric so the direct factorization is shared verbatim —
+    # then accelerator f32, then host f64 AMG-CG).
     method = "schur-T"
     y, rel = None, np.inf
-    if _try_accel(stamps, g_vals):
-        y, rel, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
-                                   "accel")
+    if _native_viable(stamps, plan):
+        from nodal_tpu.ops.skyline import SkylineUnavailable
+
+        try:
+            y, rel, _stalled = attempt(tol, "native")
+        except SkylineUnavailable as e:
+            logger.info("skyline tier unavailable (%s); falling back", e)
         if y is not None and np.isfinite(rel) and rel <= tol:
+            method = "schur-T-skyline"
+    if (y is None or not (np.isfinite(rel) and rel <= tol)) \
+            and _try_accel(stamps, g_vals):
+        ya, rela, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
+                                     "accel")
+        if ya is not None and (y is None or rela < rel
+                               or not np.isfinite(rel)):
+            y, rel = ya, rela
+        if ya is not None and np.isfinite(rela) and rela <= tol:
             method = "schur-T-tpu"
         else:
             _mark_accel_failed(stamps, g_vals)
@@ -1220,8 +1272,11 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
     if cache is None or cache["fp"] != fingerprint:
         cache = {
             "fp": fingerprint,
-            "levels": build_hierarchy(plan.n1, plan.a11_rows, plan.a11_cols,
-                                      a11_vals),
+            # The AMG hierarchy is built lazily on first CG-tier use: the
+            # native skyline tier never needs it, and its setup (~2 s at
+            # 100k nodes) would otherwise sit on the direct tier's cold
+            # path for nothing.
+            "levels": None,
             "solvers": {},
             "operands": {},
         }
@@ -1230,6 +1285,36 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
     hit = cache["solvers"].get(key)
     if hit is not None:
         return hit
+
+    if backend == "native":
+        from nodal_tpu.ops import skyline
+
+        if cache.get("native_failed"):
+            # Pivot failure is a property of this value vector — don't
+            # re-pay the full factorization attempt on every warm solve.
+            raise skyline.SkylineUnavailable(
+                "non-positive pivot (A11 not SPD here)")
+        splan = _skyline_plan_of(stamps, plan)
+        if splan is None:
+            raise skyline.SkylineUnavailable("profile over caps")
+        fact = skyline.factor(splan, plan.a11_rows, plan.a11_cols, a11_vals)
+        if fact is None:
+            cache["native_failed"] = True
+            raise skyline.SkylineUnavailable(
+                "non-positive pivot (A11 not SPD here)")
+
+        def solve_cols_native(B):
+            xs = skyline.solve(fact, np.asarray(B, dtype=np.float64))
+            c = xs.shape[0]
+            return xs, GeneralSolveInfo(
+                residual=np.zeros(c),
+                iterations=np.ones(c, dtype=np.int64),
+                converged=np.ones(c, dtype=bool),
+                method="skyline",
+            )
+
+        cache["solvers"][key] = solve_cols_native
+        return solve_cols_native
 
     accel = _accel_device_or_none() if backend == "accel" else None
     if backend == "accel" and accel is None:
@@ -1242,6 +1327,9 @@ def _a11_solver(stamps: StampTensors, plan: GeneralPlan, a11_vals, tol,
             dev, dtype = accel, jnp.float32
         else:
             dev, dtype = jax.devices("cpu")[0], jnp.float64
+        if cache["levels"] is None:
+            cache["levels"] = build_hierarchy(
+                plan.n1, plan.a11_rows, plan.a11_cols, a11_vals)
         ibuf, fbuf, meta = pack_hierarchy(cache["levels"], dtype)
         with jax.enable_x64(True):  # keep i32/f64 splits exact
             operands = (

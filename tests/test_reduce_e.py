@@ -104,7 +104,7 @@ def test_e_referenced_by_cccs_driver_stays():
          ["f1", "CCCS", "0.5", "2", "g", "1", "g", "e1"]],
         expect_elim=0,
     )
-    assert info.method == "schur"
+    assert info.method.startswith("schur")
 
 
 def test_pure_e_circuit_no_reduced_unknowns():
