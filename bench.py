@@ -473,6 +473,56 @@ def bench_large_border(n_nodes: int = 40_000, prefix: str = "sparse_ebig",
     }
 
 
+def bench_big_border_vccs(n_nodes: int = 40_000, m: int = 8192,
+                          prefix: str = "vccs_border"):
+    """Round-4 verdict's last strict capability gap, closed and benched:
+    a 40k-node mesh with 8,192 *controlled-source* (VCCS) border rows —
+    2x the iterative-tier cap — solved through the native skyline tier
+    (m direct backsolves for YB + one m² dense Schur LU).  SuperLU is
+    structure-indifferent here (reference nodal.py:325); the old path
+    raised ValueError.  Audited against the full-system f64 COO residual
+    (target ≤1e-9)."""
+    import numpy as _np
+
+    from nodal_tpu import Circuit, Netlist
+    from nodal_tpu.models.stamps import stamp_values_np
+    from nodal_tpu.utils.gridgen import grid_rows
+
+    h = 100
+    w = max(n_nodes // h, 8)
+    rows = list(grid_rows(h, w))
+    rows.append(["rg", "R", "1", "n0_0", "g"])
+    rows.append(["src", "A", "1", f"n{h // 2}_{w // 2}", "g"])
+    for k in range(m):
+        i, j = k % (h - 1), (k * 7) % (w - 1)
+        ci, cj = (k * 3) % h, (k * 11) % w
+        rows.append([f"d{k}", "VCCS", "0.01", f"n{i}_{j}", "g",
+                     f"n{ci}_{cj}", "g"])
+    c = Circuit(Netlist.from_rows(rows), sparse=True, dtype=_np.float64)
+
+    t0 = time.perf_counter()
+    sol = c.solve()
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sol = c.solve()
+    warm = time.perf_counter() - t0
+
+    g_vals, rhs_vals = stamp_values_np(c.stamps, c.stamps.params)
+    b = np.zeros(c.stamps.n)
+    np.add.at(b, c.stamps.rhs_rows, rhs_vals)
+    y = np.zeros(c.stamps.n)
+    np.add.at(y, c.stamps.g_rows, g_vals * sol.result[c.stamps.g_cols])
+    rel = float(np.max(np.abs(b - y)) / max(np.max(np.abs(b)), 1.0))
+    return {
+        f"{prefix}_nodes": c.stamps.n_kcl,
+        f"{prefix}_rows": m,
+        f"{prefix}_method": sol.stats["method"],
+        f"{prefix}_cold_s": round(cold, 2),
+        f"{prefix}_warm_s": round(warm, 2),
+        f"{prefix}_rel_residual_f64": rel,
+    }
+
+
 def bench_opmodel_chain(n_stages: int = 2500, prefix: str = "opmodel"):
     """OPMODEL at scale (round-3 review item #8): a chain of opamp
     voltage-follower macromodels (Ri=1e7/Ro=10/gain=1e5 — condition
@@ -705,6 +755,8 @@ def main(argv=None):
                         "runs shrink it)")
     parser.add_argument("--ebig-nodes", type=int, default=40_000)
     parser.add_argument("--opmodel-stages", type=int, default=2500)
+    parser.add_argument("--vccs-border-nodes", type=int, default=40_000)
+    parser.add_argument("--vccs-border-rows", type=int, default=8192)
     parser.add_argument("--mc-samples", type=int, default=10_000)
     parser.add_argument("--mc-sub-samples", type=int, default=4096,
                         help="samples for the mesh/branch MC variants")
@@ -803,6 +855,8 @@ def main(argv=None):
             args.ebig_nodes, h=args.sparse_h)))
         stages.append(("opmodel", lambda: bench_opmodel_chain(
             args.opmodel_stages)))
+        stages.append(("vccs_border", lambda: bench_big_border_vccs(
+            args.vccs_border_nodes, args.vccs_border_rows)))
     if not args.skip_general:
         stages.append(("general", lambda: _stage_general(args)))
     if not args.skip_mc:

@@ -83,6 +83,14 @@ class GeneralSolveInfo(NamedTuple):
 #: equations" and fall back to BiCGStab / dense paths.
 _BORDER_CAP = 4096
 
+#: Extended border cap for the NATIVE skyline tier only (round-5: the last
+#: strict capability gap vs SuperLU was a >4096-controlled-source border).
+#: m direct backsolves for YB plus one m² dense LU are a few seconds of
+#: host BLAS up to ~16k border rows; the CG tiers keep the tight cap —
+#: m Krylov solves at that scale is exactly the stall the cap prevents.
+_BORDER_CAP_NATIVE = int(os.environ.get(
+    "NODAL_TPU_BORDER_CAP_NATIVE", "16384"))
+
 #: Cap on the dense A11^-1·A12 block (n1 × m f64): 8 GB.
 _YB_BYTES_CAP = 8 << 30
 
@@ -286,6 +294,20 @@ def _native_viable(stamps: StampTensors, plan: GeneralPlan) -> bool:
     return _skyline_plan_of(stamps, plan) is not None
 
 
+def _plan_viable(stamps: StampTensors, plan: GeneralPlan) -> bool:
+    """Can ANY tier serve this partition?  The CG tiers keep the tight
+    ``_BORDER_CAP``; the native skyline tier extends it to
+    ``_BORDER_CAP_NATIVE`` (m direct backsolves + one m² dense LU are
+    host-BLAS work, not a Krylov stall)."""
+    if plan.viable:
+        return True
+    return (
+        plan.m <= _BORDER_CAP_NATIVE
+        and plan.n1 * max(plan.m, 1) * 8 <= _YB_BYTES_CAP
+        and _native_viable(stamps, plan)
+    )
+
+
 def _value_blocks(stamps: StampTensors, plan: GeneralPlan, g_vals):
     """Numeric blocks of the partition for one value vector: deduped A11
     values, the dense A22 block, and the A21/A12 couplings as
@@ -435,7 +457,7 @@ def solve_general_sparse(
     import scipy.linalg as sla
 
     plan = general_plan(stamps)
-    if not plan.viable:
+    if not _plan_viable(stamps, plan):
         raise ValueError(
             f"border too large for bordered elimination "
             f"(m={plan.m}, n1={plan.n1}); use an iterative path"
@@ -557,6 +579,14 @@ def solve_general_sparse(
         if x is not None and np.isfinite(rel) and rel <= tol:
             method = "schur-skyline"
     if (x is None or not (np.isfinite(rel) and rel <= tol)) \
+            and plan.m > _BORDER_CAP:
+        # Extended-cap borders are native-tier-only: m Krylov solves at
+        # this scale is exactly the stall the tight cap prevents.
+        raise ValueError(
+            f"border too large for the iterative tiers (m={plan.m}, cap "
+            f"{_BORDER_CAP}) and the native direct tier could not serve it"
+        )
+    if (x is None or not (np.isfinite(rel) and rel <= tol)) \
             and _try_accel(stamps, g_vals):
         xa, rela, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
                                      "accel")
@@ -638,7 +668,7 @@ def solve_general_auto(
         red = reduce_e.e_reduction_or_none(stamps)
     if red is None:
         plan = general_plan(stamps)
-        if not plan.viable:
+        if not _plan_viable(stamps, plan):
             raise ValueError(
                 f"bordered elimination cannot serve this circuit: "
                 f"{plan.m} border rows (cap {_BORDER_CAP}) and no "
@@ -667,7 +697,7 @@ def solve_general_auto(
         )
     else:
         plan_red = general_plan(red.stamps_red)
-        if not plan_red.viable:
+        if not _plan_viable(red.stamps_red, plan_red):
             raise ValueError(
                 f"bordered elimination cannot serve this circuit even "
                 f"after ideal-source reduction: {plan_red.m} border rows "
@@ -782,7 +812,7 @@ def solve_general_sparse_transpose(
     import scipy.linalg as sla
 
     plan = general_plan(stamps)
-    if not plan.viable:
+    if not _plan_viable(stamps, plan):
         raise ValueError(
             f"border too large for bordered elimination "
             f"(m={plan.m}, n1={plan.n1}); use an iterative path"
@@ -902,6 +932,12 @@ def solve_general_sparse_transpose(
         if y is not None and np.isfinite(rel) and rel <= tol:
             method = "schur-T-skyline"
     if (y is None or not (np.isfinite(rel) and rel <= tol)) \
+            and plan.m > _BORDER_CAP:
+        raise ValueError(
+            f"border too large for the iterative tiers (m={plan.m}, cap "
+            f"{_BORDER_CAP}) and the native direct tier could not serve it"
+        )
+    if (y is None or not (np.isfinite(rel) and rel <= tol)) \
             and _try_accel(stamps, g_vals):
         ya, rela, _stalled = attempt(max(cg_tol, _ACCEL_CG_TOL_FLOOR),
                                      "accel")
@@ -961,7 +997,7 @@ def general_auto_viable(stamps: StampTensors) -> bool:
             if red.n_red == 0:
                 return True
             target = red.stamps_red
-    return general_plan(target).viable
+    return _plan_viable(target, general_plan(target))
 
 
 def solve_general_auto_transpose(
@@ -996,7 +1032,7 @@ def solve_general_auto_transpose(
         red = reduce_e.e_reduction_or_none(stamps)
     if red is None:
         plan = general_plan(stamps)
-        if not plan.viable:
+        if not _plan_viable(stamps, plan):
             raise ValueError(
                 f"bordered elimination cannot serve this circuit: "
                 f"{plan.m} border rows (cap {_BORDER_CAP}) and no "
@@ -1018,7 +1054,7 @@ def solve_general_auto_transpose(
         )
     else:
         plan_red = general_plan(red.stamps_red)
-        if not plan_red.viable:
+        if not _plan_viable(red.stamps_red, plan_red):
             raise ValueError(
                 f"bordered elimination cannot serve this circuit even "
                 f"after ideal-source reduction: {plan_red.m} border rows "

@@ -26,6 +26,7 @@ def _toy_args(**over):
         "--reps", "1", "--midsize-nodes", "300", "--midsize-batch", "4",
         "--sparse-nodes", "96", "--sparse40k-nodes", "96", "--sparse-h", "8",
         "--ebig-nodes", "96", "--opmodel-stages", "3",
+        "--vccs-border-nodes", "96", "--vccs-border-rows", "8",
         "--mc-samples", "32", "--mc-sub-samples", "16",
         "--grid", "16", "--budget", "600",
     ]
@@ -69,6 +70,7 @@ def test_main_runs_every_stage_at_toy_size():
         "sparse_cold_s", "sparse_grad_warm_s",
         "sparse_ebig_rel_residual_f64", "sparse_ebig_e_sources",
         "opmodel_rel_residual_f64", "opmodel_unknowns",
+        "vccs_border_rel_residual_f64", "vccs_border_rows",
         "general_rel_err_vs_f64", "branch_rel_err_vs_f64",
         "mc_solves_per_sec", "mc_mesh_solves_per_sec",
         "mc_branch_solves_per_sec",
@@ -77,8 +79,8 @@ def test_main_runs_every_stage_at_toy_size():
     ):
         assert key in final, f"missing {key}"
     expected_stages = {"ladder", "sparse40k", "midsize", "sparse", "ebig",
-                       "opmodel", "general", "mc", "mc_mesh", "mc_branch",
-                       "grad", "grid"}
+                       "opmodel", "vccs_border", "general", "mc", "mc_mesh",
+                       "mc_branch", "grad", "grid"}
     assert expected_stages <= set(final["stage_times_s"])
     # The OPMODEL chain is the ill-conditioned proof point: f64 path,
     # residual must be at the f64 floor even at toy size.
