@@ -82,4 +82,59 @@ void sk_solve(int64_t n, const int32_t* jmin, const int64_t* rowptr,
     }
 }
 
+// Blocked multi-RHS solve: X is [c, n] row-major.  The per-RHS sweep in
+// sk_solve re-streams the entire factor from RAM once per right-hand
+// side (measured 0.26 GFLOP/s — pure memory-latency bound at 8192 RHS /
+// 40k unknowns: 240 GB of L traffic).  Here a block of `cb` RHS is
+// transposed to [n, cb] so the innermost loop runs contiguously over the
+// RHS lane while each L entry is loaded ONCE per block — L traffic drops
+// by cb× and the lane loop vectorizes (FMA over 48 doubles).
+void sk_solve_blocked(int64_t n, const int32_t* jmin, const int64_t* rowptr,
+                      const double* sky, const double* diag, double* X,
+                      int64_t c) {
+    const int64_t CB = 48;
+#pragma omp parallel for schedule(static) if (c > CB)
+    for (int64_t b0 = 0; b0 < c; b0 += CB) {
+        const int64_t cb = (c - b0) < CB ? (c - b0) : CB;
+        double* Xt = new double[(size_t)n * cb];  // per-block scratch
+        // Gather block, transposed: Xt[i*cb + r] = X[(b0+r)*n + i].
+        for (int64_t r = 0; r < cb; ++r)
+            for (int64_t i = 0; i < n; ++i)
+                Xt[i * cb + r] = X[(b0 + r) * n + i];
+        // Forward: y = L^{-1} b.
+        for (int64_t i = 0; i < n; ++i) {
+            const int64_t ji = jmin[i];
+            const double* Li = sky + rowptr[i] - ji;
+            double* xi = Xt + i * cb;
+            for (int64_t k = ji; k < i; ++k) {
+                const double lik = Li[k];
+                const double* xk = Xt + k * cb;
+                for (int64_t r = 0; r < cb; ++r) xi[r] -= lik * xk[r];
+            }
+        }
+        // Diagonal.
+        for (int64_t i = 0; i < n; ++i) {
+            const double di = diag[i];
+            double* xi = Xt + i * cb;
+            for (int64_t r = 0; r < cb; ++r) xi[r] /= di;
+        }
+        // Backward: x = L^{-T} z.
+        for (int64_t i = n - 1; i >= 0; --i) {
+            const int64_t ji = jmin[i];
+            const double* Li = sky + rowptr[i] - ji;
+            const double* xi = Xt + i * cb;
+            for (int64_t k = ji; k < i; ++k) {
+                const double lik = Li[k];
+                double* xk = Xt + k * cb;
+                for (int64_t r = 0; r < cb; ++r) xk[r] -= lik * xi[r];
+            }
+        }
+        // Scatter back.
+        for (int64_t r = 0; r < cb; ++r)
+            for (int64_t i = 0; i < n; ++i)
+                X[(b0 + r) * n + i] = Xt[i * cb + r];
+        delete[] Xt;
+    }
+}
+
 }  // extern "C"

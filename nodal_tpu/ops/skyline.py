@@ -70,6 +70,8 @@ def _load():
     lib.sk_solve.restype = None
     lib.sk_solve.argtypes = ([ctypes.c_int64] + [ctypes.c_void_p] * 5
                              + [ctypes.c_int64])
+    lib.sk_solve_blocked.restype = None
+    lib.sk_solve_blocked.argtypes = lib.sk_solve.argtypes
     return lib
 
 
@@ -176,8 +178,12 @@ def solve(fact: SkylineFactor, B: np.ndarray) -> np.ndarray:
     if squeeze:
         B = B[None]
     X = np.ascontiguousarray(B[:, plan.perm])
-    lib.sk_solve(plan.n, _ptr(plan.jmin), _ptr(plan.rowptr),
-                 _ptr(fact.sky), _ptr(fact.diag), _ptr(X), X.shape[0])
+    # Blocked kernel for multi-RHS batches: streams the factor once per
+    # 48-RHS block instead of once per RHS (the per-RHS sweep measured
+    # 0.26 GFLOP/s on a 8192-RHS border — pure L-traffic bound).
+    fn = lib.sk_solve if X.shape[0] == 1 else lib.sk_solve_blocked
+    fn(plan.n, _ptr(plan.jmin), _ptr(plan.rowptr),
+       _ptr(fact.sky), _ptr(fact.diag), _ptr(X), X.shape[0])
     out = X[:, plan.iperm]
     return out[0] if squeeze else out
 

@@ -308,6 +308,17 @@ def _plan_viable(stamps: StampTensors, plan: GeneralPlan) -> bool:
     )
 
 
+def _lu_solve64(lu, piv, rhs, trans=0):
+    """lu_solve at the LU's own precision (an f32 LU must not be silently
+    promoted — getrs on a casted-to-f64 copy costs an m² memcpy per
+    solve), result upcast to f64 for the defect correction."""
+    import scipy.linalg as sla
+
+    out = sla.lu_solve((lu, piv), np.asarray(rhs, dtype=lu.dtype),
+                       trans=trans)
+    return out.astype(np.float64, copy=False)
+
+
 def _value_blocks(stamps: StampTensors, plan: GeneralPlan, g_vals):
     """Numeric blocks of the partition for one value vector: deduped A11
     values, the dense A22 block, and the A21/A12 couplings as
@@ -330,8 +341,19 @@ def _value_blocks(stamps: StampTensors, plan: GeneralPlan, g_vals):
     return a11_vals, A22, a21, a12
 
 
+#: Border size above which the Schur complement may factor in f32 with
+#: f64 defect correction (a stalled refinement promotes the LU back to
+#: f64 once, reusing the cached YB/S blocks).  Disabled by default: on
+#: this host's OpenBLAS, sgetrf measured NO faster than dgetrf at
+#: m=8192 (19.0 s vs 17.8 s), so f32 only spends accuracy.  Set the env
+#: var on machines whose BLAS actually doubles f32 GEMM throughput.
+_SCHUR_F32_MIN_M = int(os.environ.get(
+    "NODAL_TPU_SCHUR_F32_MIN_M", str(1 << 40)))
+
+
 def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
-                   cg_tol: float, backend: str = "cpu"):
+                   cg_tol: float, backend: str = "cpu",
+                   schur_f64: bool = False):
     """b-independent block factorization at ``cg_tol``: ``((solve_cols,
     YB, lu, piv), iters)``, or ``(None, iters)`` when CG stalled building
     YB.
@@ -353,7 +375,17 @@ def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
            backend)
     cache = getattr(stamps, "_general_fact", None)
     if cache is not None and cache.get("key") == key:
-        return cache["fact"], 0
+        fact = cache["lus"].get(bool(schur_f64))
+        if fact is not None:
+            return fact, 0
+        # Blocks (solve_cols, YB, S) are LU-precision-independent: a
+        # schur_f64 promotion after a missed f32 attempt refactors ONLY
+        # the m² Schur complement, not the m A11 solves behind YB.
+        solve_cols, YBT, S = cache["blocks"]
+        lu, piv = _schur_lu(S, plan.m, schur_f64)
+        fact = (solve_cols, YBT, lu, piv)
+        cache["lus"][bool(schur_f64)] = fact
+        return fact, 0
 
     a11_vals, A22, a21, a12 = _value_blocks(stamps, plan, g_vals)
     a21_r, a21_c, a21_v = a21
@@ -364,7 +396,14 @@ def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
         solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol, backend)
         R = np.zeros((m, n1))
         np.add.at(R, (a12[1], a12[0]), a12[2])
-        YB = np.empty_like(R)  # rows j = A11^-1 A12[:, j]
+        # YBT is stored TRANSPOSED ([n1, m] C-contiguous, filled in
+        # column blocks): every consumer wants it that way — the Schur
+        # build A21 @ YBT rides scipy's contiguous fast path and the
+        # back-substitution x1 = y_b − YBT @ x2 is a row-major GEMV.
+        # Materializing [m, n1] and transposing after cost a measured
+        # 46 s of strided copy at m=8192 (np.ascontiguousarray walks the
+        # 2.6 GB transpose element by element).
+        YBT = np.empty((n1, m))
         ok = True
         for lo in range(0, m, _RHS_CHUNK):
             hi = min(lo + _RHS_CHUNK, m)
@@ -375,47 +414,68 @@ def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
             # tier's vmapped CG onto the (emulated-f64, remote-compile)
             # TPU path — measured 309 s vs 2.5 s for one such solve.
             xs, infos = solve_cols(R[lo:hi])
-            YB[lo:hi] = np.asarray(xs)
+            YBT[:, lo:hi] = np.asarray(xs).T  # small blocked transpose
             iters += int(np.sum(np.asarray(infos.iterations)))
             ok = ok and bool(np.all(np.asarray(infos.converged)))
-        if not ok or not np.all(np.isfinite(YB)):
+        if not ok or not np.all(np.isfinite(YBT)):
             logger.error(
                 "AMG-CG stalled on the grounded node block (n1=%d)", n1
             )
             return None, iters
 
-        # S = A22 - A21 Y_B^T
-        A21YB = np.zeros((m, m))
+        # S = A22 - A21 Y_Bᵀ.  Sparse A21 (csr) times the dense YBᵀ: at
+        # m=8192 the old broadcast form (a21_v[:,None] * YB[:,a21_c].T +
+        # add.at) materialized a [nnz, m] f64 intermediate and took 39 s;
+        # the csr matmul does the same 1e8 MACs in well under a second.
         if len(a21_v):
-            np.add.at(A21YB, (a21_r,), a21_v[:, None] * YB[:, a21_c].T)
-        S = A22 - A21YB
+            import scipy.sparse as _sp
+
+            A21 = _sp.csr_matrix((a21_v, (a21_r, a21_c)),
+                                 shape=(m, plan.n1))
+            S = A22 - A21 @ YBT
+        else:
+            S = A22.copy()
     else:
         solve_cols = None
-        YB = np.zeros((m, 0))
+        YBT = np.zeros((0, m))
         S = A22
 
-    # Pivoted dense factorization of the Schur complement.  A singular
-    # S raises LinAlgError here — the same surface as the reference
-    # dense path (numpy.linalg.solve at reference nodal.py:327).
-    if m > 0:
-        import warnings
-
-        with warnings.catch_warnings():
-            # A zero pivot (structurally singular circuit) produces
-            # inf/nan back-substitutions that the residual gate below
-            # catches and surfaces as LinAlgError through the caller's
-            # diagnosis — scipy's LinAlgWarning here is just noise.
-            warnings.simplefilter("ignore", sla.LinAlgWarning)
-            lu, piv = sla.lu_factor(S)
-        if not np.all(np.isfinite(lu)):
-            raise np.linalg.LinAlgError("Singular matrix")
-    else:
-        lu = piv = None
-    fact = (solve_cols, YB, lu, piv)
+    lu, piv = _schur_lu(S, m, schur_f64)
+    fact = (solve_cols, YBT, lu, piv)
     stamps._general_fact = {  # type: ignore[attr-defined]
-        "key": key, "fact": fact,
+        "key": key,
+        "blocks": (solve_cols, YBT, S),
+        "lus": {bool(schur_f64): fact},
     }
     return fact, iters
+
+
+def _schur_lu(S, m: int, schur_f64: bool):
+    """Pivoted dense factorization of the Schur complement.  A singular S
+    raises LinAlgError here — the same surface as the reference dense
+    path (numpy.linalg.solve at reference nodal.py:327).  Extended-cap
+    borders factor in f32 unless ``schur_f64`` promotes them."""
+    import warnings
+
+    import scipy.linalg as sla
+
+    if m == 0:
+        return None, None
+    f32_lu = m >= _SCHUR_F32_MIN_M and not schur_f64
+    with warnings.catch_warnings():
+        # A zero pivot (structurally singular circuit) produces
+        # inf/nan back-substitutions that the residual gate below
+        # catches and surfaces as LinAlgError through the caller's
+        # diagnosis — scipy's LinAlgWarning here is just noise.
+        warnings.simplefilter("ignore", sla.LinAlgWarning)
+        lu, piv = sla.lu_factor(S.astype(np.float32) if f32_lu else S)
+        if f32_lu and not np.all(np.isfinite(lu)):
+            # f32 overflow/underflow, not necessarily singular —
+            # retry at full precision before declaring failure.
+            lu, piv = sla.lu_factor(S)
+    if not np.all(np.isfinite(lu)):
+        raise np.linalg.LinAlgError("Singular matrix")
+    return lu, piv
 
 
 def solve_general_sparse(
@@ -488,16 +548,16 @@ def solve_general_sparse(
             np.add.at(y, gr, g_vals * x[gc])
         return b - y
 
-    def attempt(cg_tol, backend="cpu"):
+    def attempt(cg_tol, backend="cpu", schur_f64=False):
         """Solve with the (cached) factorization at ``cg_tol`` and refine.
         Returns ``(x, rel, stalled)``; ``x`` is None when CG stalled."""
         nonlocal total_iters
         fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol,
-                                       backend)
+                                       backend, schur_f64)
         total_iters += f_iters
         if fact is None:
             return None, np.inf, False
-        solve_cols, YB, lu, piv = fact
+        solve_cols, YBT, lu, piv = fact
         if n1 > 0:
             y_bs, info = solve_cols(b1[None])
             total_iters += int(np.asarray(info.iterations)[0])
@@ -529,13 +589,13 @@ def solve_general_sparse(
             rs = np.asarray(r2, dtype=np.float64).copy()
             if len(a21_v):
                 np.subtract.at(rs, a21_r, a21_v * w1[a21_c])
-            dx2 = sla.lu_solve((lu, piv), rs) if m else np.zeros(0)
-            dx1 = w1 - YB.T @ dx2 if n1 else np.zeros(0)
+            dx2 = _lu_solve64(lu, piv, rs) if m else np.zeros(0)
+            dx1 = w1 - YBT @ dx2 if n1 else np.zeros(0)
             return dx1, dx2
 
         with np.errstate(invalid="ignore"):  # zero pivots -> NaNs, gated
-            x2 = sla.lu_solve((lu, piv), rhs_s) if m else np.zeros(0)
-            x1 = y_b - YB.T @ x2 if n1 else np.zeros(0)
+            x2 = _lu_solve64(lu, piv, rhs_s) if m else np.zeros(0)
+            x1 = y_b - YBT @ x2 if n1 else np.zeros(0)
         x = np.empty(stamps.n)
         x[plan.k1] = x1
         x[plan.border] = x2
@@ -574,6 +634,13 @@ def solve_general_sparse(
 
         try:
             x, rel, _stalled = attempt(tol, "native")
+            if (x is not None and np.isfinite(rel) and rel > tol
+                    and plan.m >= _SCHUR_F32_MIN_M):
+                # The f32 Schur LU could not carry refinement to tol
+                # (ill-conditioned border): promote it to f64 once.
+                xp, relp, _ = attempt(tol, "native", schur_f64=True)
+                if xp is not None and relp < rel:
+                    x, rel = xp, relp
         except SkylineUnavailable as e:
             logger.info("skyline tier unavailable (%s); falling back", e)
         if x is not None and np.isfinite(rel) and rel <= tol:
@@ -874,14 +941,14 @@ def solve_general_sparse_transpose(
             np.add.at(z, gc, g_vals * y[gr])  # Gᵀ y
         return c - z
 
-    def attempt(cg_tol, backend="cpu"):
+    def attempt(cg_tol, backend="cpu", schur_f64=False):
         nonlocal total_iters
         fact, f_iters = _factorization(stamps, plan, g_vals, cg_tol,
-                                       backend)
+                                       backend, schur_f64)
         total_iters += f_iters
         if fact is None:
             return None, np.inf, False
-        solve_cols, YB, lu, piv = fact
+        solve_cols, _YBT, lu, piv = fact
 
         def solve_a11(r):
             """One CG pass A11⁻¹ r, or None on stall."""
@@ -910,7 +977,7 @@ def solve_general_sparse_transpose(
             if len(a12_v):
                 np.subtract.at(rs, a12_c, a12_v * w1[a12_r])
             with np.errstate(invalid="ignore"):
-                y2 = (sla.lu_solve((lu, piv), rs, trans=1)
+                y2 = (_lu_solve64(lu, piv, rs, trans=1)
                       if m else np.zeros(0))
             if n1:
                 t = np.zeros(n1)
@@ -960,6 +1027,11 @@ def solve_general_sparse_transpose(
 
         try:
             y, rel, _stalled = attempt(tol, "native")
+            if (y is not None and np.isfinite(rel) and rel > tol
+                    and plan.m >= _SCHUR_F32_MIN_M):
+                yp, relp, _ = attempt(tol, "native", schur_f64=True)
+                if yp is not None and relp < rel:
+                    y, rel = yp, relp
         except SkylineUnavailable as e:
             logger.info("skyline tier unavailable (%s); falling back", e)
         if y is not None and np.isfinite(rel) and rel <= tol:

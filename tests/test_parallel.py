@@ -405,7 +405,7 @@ def test_sharded_batch_solver_gradients_match_local():
                                rtol=1e-9, atol=1e-12)
 
 
-def test_sharded_schur_branch_tier_matches_oracle():
+def _sharded_schur_oracle_check(h, w, batch):
     """Round-3 review item #3: multi-chip sweeps of branch-equation
     circuits must ride the Schur fast tier (banded multi-RHS kernels in
     shard_map), not fall to the per-sample dense core.  Forward AND
@@ -414,7 +414,7 @@ def test_sharded_schur_branch_tier_matches_oracle():
     from nodal_tpu.parallel.sharded import _pallas_local_schur_solver
     from nodal_tpu.utils.gridgen import grid_rows
 
-    rows = list(grid_rows(25, 40, (0, 0), (24, 39)))
+    rows = list(grid_rows(h, w, (0, 0), (h - 1, w - 1)))
     rows.append(["e1", "E", "2", "1", "g"])
     rows.append(["d1", "VCCS", "0.5", "n3_3", "g", "1", "g"])
     circuit = Circuit(Netlist.from_rows(rows))
@@ -428,7 +428,7 @@ def test_sharded_schur_branch_tier_matches_oracle():
 
     rng = np.random.default_rng(0)
     base = circuit.stamps.params
-    pb = (base * (1.0 + 0.05 * rng.standard_normal((16, len(base))))
+    pb = (base * (1.0 + 0.05 * rng.standard_normal((batch, len(base))))
           ).astype(np.float32)
     xs_sh = np.asarray(sharded(jnp.asarray(pb)))
     xs_or = np.asarray(oracle(pb.astype(np.float64)))
@@ -443,3 +443,17 @@ def test_sharded_schur_branch_tier_matches_oracle():
     gerr = np.max(np.abs(g_sh - g_or)) / max(float(np.max(np.abs(g_or))),
                                              1.0)
     assert gerr < 2e-3, gerr
+
+
+def test_sharded_schur_branch_tier_matches_oracle():
+    """Shrunk default-suite variant (round-4 review item #7: the 25×40
+    version took 301 s of interpret-mode Pallas; 11×24 is the smallest
+    mesh the tier's nk≥256 gate accepts and covers the same code paths
+    in ~20 s)."""
+    _sharded_schur_oracle_check(11, 24, batch=8)
+
+
+@pytest.mark.slow
+def test_sharded_schur_branch_tier_matches_oracle_full():
+    """Nightly full-size twin (the original 25×40, batch 16)."""
+    _sharded_schur_oracle_check(25, 40, batch=16)

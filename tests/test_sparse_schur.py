@@ -247,12 +247,12 @@ def test_transpose_reuses_forward_factorization():
     nl = _mesh_with_sources(6, 7)
     c = Circuit(nl, sparse=True)
     solve_general_sparse(c.stamps)
-    fact_before = c.stamps._general_fact["fact"]
+    fact_before = c.stamps._general_fact["lus"][False]
     rhs = np.zeros(c.stamps.n)
     rhs[3] = 1.0
     y, info = solve_general_sparse_transpose(c.stamps, rhs=rhs)
     assert bool(info.converged)
-    assert c.stamps._general_fact["fact"] is fact_before
+    assert c.stamps._general_fact["lus"][False] is fact_before
 
 
 def test_adjoint_gradient_matches_dense_autodiff():
