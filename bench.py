@@ -154,14 +154,18 @@ def _branch_circuit(n_nodes):
 
 
 def bench_batched_solves(circuit, batch: int, reps: int, method: str = "auto",
-                         refine: bool = False):
+                         refine: bool | str = "auto"):
     """Throughput of the structure-aware batched solver.
 
     Timing is forced honest: a device-side checksum of every solution batch
     is fetched to the host inside the timed region (``block_until_ready``
     alone does not synchronize through the remote-TPU tunnel).
-    ``refine=True`` benches the f64-residual-refined tier (the ≤1e-6
-    accuracy contract at f32-kernel speed).
+    ``refine`` defaults to ``"auto"`` — BatchedSolver's actual default,
+    the error-gated contract tier.  (Round-5 postmortem: this used to
+    default to ``False``, so every "default tier" row in rounds 3-4
+    silently measured the RAW tier — which is why the judged default-path
+    error always equaled raw.)  ``refine=True`` benches the
+    unconditionally f64-refined tier; ``refine=False`` the raw one.
     """
     import jax
     import jax.numpy as jnp
@@ -669,6 +673,11 @@ def _stage_general(args):
     }
     out.update({f"general_raw_{k}": v for k, v in _roofline(
         _tier_cost_model("sband", mesh_stamps), genw_sust).items()})
+    # Branch/Schur tier roofline (round-4 review item #6: the cost model
+    # previously covered only the batched resistive tiers).
+    out.update({f"branch_{k}": v for k, v in _roofline(
+        _tier_cost_model("schur", _branch_circuit(args.nodes).stamps),
+        br_sust).items()})
     return out
 
 
@@ -712,15 +721,31 @@ def _stage_midsize(mid_nodes: int, tag: str, batch: int):
     return out
 
 
+def _grid_cost_model(n: int, iters: int):
+    """(flops, bytes) per grid solve: MG-preconditioned CG on an n×n
+    5-point Laplacian.  Per iteration ≈ one stencil matvec (6 flops/pt)
+    + CG vector algebra (~10 flops/pt) + one bilinear MG V-cycle
+    (~14 flops/pt summed over the 4/3-geometric level series) ≈ 30
+    flops/pt; traffic ≈ 12 f32 array passes/pt/iter.  Documented
+    estimate — the point of the field is the achieved-GB/s order and the
+    bound classification (this solve is HBM-bound by construction)."""
+    pts = float(n) * n
+    return 30.0 * pts * max(iters, 1), 48.0 * pts * max(iters, 1)
+
+
 def _stage_grid(args):
     r, grid_dt, iters, marginal = bench_grid(args.grid, args.grid_tol)
-    return {
+    out = {
         "grid_n": args.grid * args.grid,
         "grid_solve_s": round(grid_dt, 4),
         "grid_solve_marginal_s": round(marginal, 4),
         "grid_cg_iters": iters,
         "grid_R_knights_move": round(r, 6),
     }
+    out.update({f"grid_{k}": v for k, v in _roofline(
+        _grid_cost_model(args.grid, iters),
+        1.0 / max(marginal, 1e-9)).items()})
+    return out
 
 
 def main(argv=None):
@@ -765,7 +790,7 @@ def main(argv=None):
     parser.add_argument("--skip-grad", action="store_true")
     parser.add_argument("--budget", type=float,
                         default=float(os.environ.get(
-                            "NODAL_BENCH_BUDGET_S", "690")),
+                            "NODAL_BENCH_BUDGET_S", "720")),
                         help="wall-clock budget (s); stages that have not "
                         "STARTED once it is exhausted are skipped loudly "
                         "(NODAL_BENCH_BUDGET_S overrides the default)")
@@ -857,6 +882,11 @@ def main(argv=None):
             args.opmodel_stages)))
         stages.append(("vccs_border", lambda: bench_big_border_vccs(
             args.vccs_border_nodes, args.vccs_border_rows)))
+    if not args.skip_grid:
+        # Early slot: the 1M-grid north-star metric is cheap once its
+        # program is in the persistent compile cache (11.7 s measured)
+        # and must not fall off the end of the budget.
+        stages.append(("grid", lambda: _stage_grid(args)))
     if not args.skip_general:
         stages.append(("general", lambda: _stage_general(args)))
     if not args.skip_mc:
@@ -874,8 +904,6 @@ def main(argv=None):
     if not args.skip_grad:
         stages.append(("grad", lambda: bench_gradient(
             args.nodes, args.general_batch)))
-    if not args.skip_grid:
-        stages.append(("grid", lambda: _stage_grid(args)))
 
     for name, fn in stages:
         elapsed = time.perf_counter() - t_start
