@@ -48,8 +48,10 @@ def _run_main(argv):
     return [json.loads(ln) for ln in lines]
 
 
-@pytest.mark.slow
 def test_main_runs_every_stage_at_toy_size():
+    # Deliberately NOT marked slow (~90 s): this is the guard that keeps
+    # BENCH_r{N}.json from ever being empty again — every stage function
+    # must build its circuits and run end-to-end through main().
     payloads = _run_main(_toy_args())
     # Incremental emission: one line after the headline, one per stage,
     # plus the final re-print — the *first* line must already be parseable
