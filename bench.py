@@ -828,6 +828,20 @@ def main(argv=None):
     }
     extra.update({f"batched_{k}": v for k, v in _roofline(
         _tier_cost_model(method, ladder_circuit.stamps), sustained).items()})
+    # Raw-tier companion row: the headline is the error-contract default;
+    # this shows what the contract costs on the fastest tier (and keeps
+    # comparability with rounds ≤4, whose "default" rows measured raw).
+    (raw_sps, _rdt, raw_err, raw_audit, _rm,
+     raw_sust) = bench_batched_solves(
+        _ladder_circuit(args.nodes), args.batch, min(args.reps, 2),
+        args.method, refine=False,
+    )
+    extra.update({
+        "batched_raw_solves_per_sec": round(raw_sps, 2),
+        "batched_raw_sustained_solves_per_sec": round(raw_sust, 2),
+        "batched_raw_rel_err_vs_f64": raw_err,
+        "batched_raw_max_residual": raw_audit,
+    })
 
     stage_times: dict = {"ladder": round(time.perf_counter() - t_start, 1)}
     skipped: list = []
