@@ -104,6 +104,66 @@ def jacobi_preconditioner(topo: SparseTopology, vals):
 _AMG_THRESHOLD_N = 100_000
 
 
+def _solve_spd_skyline(stamps: StampTensors, topo: SparseTopology, params,
+                       rhs):
+    """Host-direct solve of a purely resistive (SPD) system through the
+    native skyline LDLᵀ tier, or None to fall through to Krylov.
+
+    The factorization is cached on the stamps object per value
+    fingerprint, so repeat solves (equiv probes with different RHS) pay
+    one backsolve.
+    """
+    import os
+
+    if os.environ.get("NODAL_TPU_NO_SKYLINE", "0") == "1":
+        return None
+    from nodal_tpu.models.stamps import stamp_values_np
+    from nodal_tpu.ops import skyline
+    from nodal_tpu.ops.sparse_schur import GeneralSolveInfo
+
+    if not skyline.available() or stamps.n == 0:
+        return None
+    plan = getattr(stamps, "_spd_skyline_plan", "missing")
+    if plan == "missing":
+        plan = skyline.plan_skyline(stamps.n, topo.rows, topo.cols)
+        stamps._spd_skyline_plan = plan  # type: ignore[attr-defined]
+    if plan is None:
+        return None
+
+    params_np = np.asarray(params, dtype=np.float64)
+    g_vals, rhs_vals = stamp_values_np(stamps, params_np)
+    cache = getattr(stamps, "_spd_skyline_fact", None)
+    key = g_vals.tobytes()
+    if cache is not None and cache[0] == key:
+        fact = cache[1]
+        if fact is None:
+            return None  # memoized pivot failure
+    else:
+        fact = skyline.factor(plan, stamps.g_rows, stamps.g_cols, g_vals)
+        stamps._spd_skyline_fact = (key, fact)  # type: ignore[attr-defined]
+        if fact is None:
+            return None
+
+    b = np.zeros(stamps.n)
+    np.add.at(b, stamps.rhs_rows, rhs_vals)
+    if rhs is not None:
+        b = np.asarray(rhs, dtype=np.float64)
+    x = skyline.solve(fact, b)
+    gr = stamps.g_rows.astype(np.int64)
+    gc = stamps.g_cols.astype(np.int64)
+    y = np.zeros(stamps.n)
+    with np.errstate(invalid="ignore"):
+        np.add.at(y, gr, g_vals * x[gc])
+    b_scale = max(float(np.max(np.abs(b))) if stamps.n else 0.0, 1.0)
+    rel = float(np.max(np.abs(b - y))) / b_scale
+    return x, GeneralSolveInfo(
+        residual=np.float64(rel),
+        iterations=np.int64(1),
+        converged=np.bool_(bool(np.isfinite(rel))),
+        method="skyline",
+    )
+
+
 def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None,
                         rhs=None, preconditioner: str = "auto",
                         general: str = "auto"):
@@ -151,6 +211,18 @@ def solve_sparse_system(stamps: StampTensors, params, dtype=None, tol=None,
         )
         return x.astype(np.dtype(dtype) if dtype is not None
                         else np.float64), info
+
+    if spd and preconditioner == "auto":
+        # Native skyline direct tier (round 5): a one-shot resistive
+        # solve pays zero XLA compile — RCM + profile LDLᵀ in C++ —
+        # and returns at the f64 floor.  Falls through to the Krylov
+        # paths when the profile blows the caps, the factor hits a
+        # non-SPD pivot, or the tier is disabled.
+        direct = _solve_spd_skyline(stamps, topo, params, rhs)
+        if direct is not None:
+            x, info = direct
+            return (x.astype(np.dtype(dtype) if dtype is not None
+                             else np.float64), info)
 
     params = jnp.asarray(params, dtype=dtype)
     if tol is None:

@@ -98,7 +98,9 @@ def test_solver_cli_native_stats(tmp_netlist, capsys):
     path = tmp_netlist(grid_csv(8, 8, (0, 0), (7, 7)), "grid.csv")
     solver_cli.main(["--native", "on", "--stats", path])
     captured = capsys.readouterr()
-    assert "method: native+krylov" in captured.err
+    # native C++ parse + whichever sparse tier serves the solve (the
+    # skyline direct tier since round 5; krylov when it is unavailable).
+    assert "method: native+" in captured.err
     assert "iterations:" in captured.err
     assert captured.out.startswith("Ground node:")
 
