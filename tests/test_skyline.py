@@ -181,6 +181,29 @@ def test_border_over_cap_without_native_raises(monkeypatch):
         c.solve()
 
 
+def test_resistive_sparse_oneshot_routes_through_skyline(monkeypatch):
+    """Round 5: the purely resistive `-s` path (solver CLI, equiv probes)
+    prefers the native direct tier — zero XLA compile on the cold path —
+    and falls back to Krylov when disabled."""
+    rows = list(grid_rows(8, 9, (0, 0), (7, 8)))
+    rows.append(["src", "A", "1", "1", "g"])
+    nl = Netlist.from_rows(rows)
+    sol = Circuit(nl, sparse=True, dtype=np.float64).solve()
+    assert sol.stats["method"] == "skyline"
+    dense = Circuit(Netlist.from_rows(rows), dtype=np.float64).solve()
+    err = np.max(np.abs(sol.result - dense.result)) / np.max(
+        np.abs(dense.result))
+    assert err < 1e-10 and sol.stats["residual"] < 1e-12
+
+    monkeypatch.setenv("NODAL_TPU_NO_SKYLINE", "1")
+    sol2 = Circuit(Netlist.from_rows(rows), sparse=True,
+                   dtype=np.float64).solve()
+    assert sol2.stats["method"] != "skyline"
+    err2 = np.max(np.abs(sol2.result - dense.result)) / np.max(
+        np.abs(dense.result))
+    assert err2 < 1e-8
+
+
 def test_pivot_failure_memoized_and_falls_back(monkeypatch):
     """A value vector that breaks SPD must fall back to the CG tiers once
     and remember the failure (no re-factorization per warm solve)."""
