@@ -102,6 +102,89 @@ def resistance_sensitivities(netlist: Netlist, a: str, b: str):
 _DENSE_MANY_MAX_N = 16384
 
 
+def _equiv_many_skyline(netlist, stamps, rows_a, rows_b):
+    """All probe pairs through the native skyline LDLᵀ tier: ONE host
+    factorization + k backsolves, no XLA compile, f64 throughout.
+    Returns the resistances, or None to fall through (tier disabled,
+    profile over caps, non-SPD pivot).  Shares ops.sparse's value-keyed
+    factor cache, so a CLI solve followed by probes reuses the factor.
+    """
+    import os
+
+    import numpy as np
+
+    if os.environ.get("NODAL_TPU_NO_SKYLINE", "0") == "1":
+        return None
+    from nodal_tpu.models.stamps import stamp_values_np
+    from nodal_tpu.ops import skyline
+    from nodal_tpu.ops.sparse import _topology
+
+    if not skyline.available() or stamps.n == 0:
+        return None
+    topo = _topology(stamps)
+    plan = getattr(stamps, "_spd_skyline_plan", "missing")
+    if plan == "missing":
+        plan = skyline.plan_skyline(stamps.n, topo.rows, topo.cols)
+        stamps._spd_skyline_plan = plan  # type: ignore[attr-defined]
+    if plan is None:
+        return None
+    g_vals, _ = stamp_values_np(stamps,
+                                np.asarray(stamps.params, np.float64))
+    cache = getattr(stamps, "_spd_skyline_fact", None)
+    key = g_vals.tobytes()
+    if cache is not None and cache[0] == key:
+        fact = cache[1]
+    else:
+        fact = skyline.factor(plan, stamps.g_rows, stamps.g_cols, g_vals)
+        stamps._spd_skyline_fact = (key, fact)  # type: ignore[attr-defined]
+    if fact is None:
+        return None
+
+    k = len(rows_a)
+    n = stamps.n
+    R = np.zeros((k, n))
+    idx = np.arange(k)
+    sel = rows_a >= 0
+    R[idx[sel], rows_a[sel]] += 1.0
+    sel = rows_b >= 0
+    R[idx[sel], rows_b[sel]] -= 1.0
+    X = skyline.solve(fact, R)
+
+    # Residual + forward-amplification gate via one csr matmul (an
+    # np.add.at formulation measured ~10 s for 64 probes at 40k nodes —
+    # fancy-index scatter is the slow path; csr @ dense is milliseconds).
+    import scipy.sparse as sp
+
+    gr = stamps.g_rows.astype(np.int64)
+    gc = stamps.g_cols.astype(np.int64)
+    nnz = len(gr)
+    A = sp.csr_matrix((g_vals, (gr, gc)), shape=(n, n))
+    with np.errstate(invalid="ignore"):
+        rmax = float(np.max(np.abs((A @ X.T).T - R))) if k else 0.0
+    g_max = float(np.max(np.abs(g_vals))) if nnz else 0.0
+    x_max = float(np.max(np.abs(X))) if X.size else 0.0
+    scale = max(1.0, g_max * x_max)
+    rmax /= scale
+    eps = float(np.finfo(np.float64).eps)
+    # Same two-level gate as the dense/banded paths below: backward-error
+    # plus a forward-amplification tripwire for finite-garbage solves of
+    # exactly-singular systems.
+    if (not np.isfinite(rmax) or rmax > 1e-6
+            or not np.isfinite(X).all() or scale > 0.01 / eps):
+        from numpy.linalg import LinAlgError
+
+        from nodal_tpu.netlist import UnconnectedCircuitError, is_connected
+
+        if not is_connected(netlist):
+            raise UnconnectedCircuitError
+        if not np.isfinite(rmax) or rmax > 1e-6 \
+                or not np.isfinite(X).all():
+            raise LinAlgError("Singular matrix")
+    ea = np.where(rows_a >= 0, X[idx, np.maximum(rows_a, 0)], 0.0)
+    eb = np.where(rows_b >= 0, X[idx, np.maximum(rows_b, 0)], 0.0)
+    return ea - eb
+
+
 def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
     """Equivalent resistance for many probe pairs of one netlist at once.
 
@@ -147,6 +230,14 @@ def equivalent_resistance_many(netlist: Netlist, pairs, *, dtype=None):
 
     rows_a = np.array([row(a) for a, _ in pairs], dtype=np.int64)
     rows_b = np.array([row(b) for _, b in pairs], dtype=np.int64)
+
+    # Native direct tier first (round 5): one skyline factorization + k
+    # backsolves, pure host numpy — placed BEFORE the jax device scope so
+    # a resistive probe sweep never even initializes a backend (the
+    # remote-TPU client handshake alone is ~10 s in this session).
+    sky = _equiv_many_skyline(netlist, stamps, rows_a, rows_b)
+    if sky is not None:
+        return sky
 
     cpu = _cpu_device_or_none()
     scope = (jax.default_device(cpu) if cpu is not None
