@@ -790,7 +790,7 @@ def main(argv=None):
     parser.add_argument("--skip-grad", action="store_true")
     parser.add_argument("--budget", type=float,
                         default=float(os.environ.get(
-                            "NODAL_BENCH_BUDGET_S", "720")),
+                            "NODAL_BENCH_BUDGET_S", "900")),
                         help="wall-clock budget (s); stages that have not "
                         "STARTED once it is exhausted are skipped loudly "
                         "(NODAL_BENCH_BUDGET_S overrides the default)")
