@@ -405,6 +405,10 @@ def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
         # 2.6 GB transpose element by element).
         YBT = np.empty((n1, m))
         ok = True
+        # Chunk width 32 measured FASTER than 384 for the native tier
+        # too (65-86 s vs ~105 s cold on the 8192-row border): the
+        # 48-lane blocked backsolve's working set stays cache-resident
+        # at 32-wide calls.  Keep one chunk policy for all tiers.
         for lo in range(0, m, _RHS_CHUNK):
             hi = min(lo + _RHS_CHUNK, m)
             # Pass host numpy: solve_cols device_puts its inputs onto its
