@@ -48,15 +48,21 @@ def _load():
     src = os.path.abspath(_CPP)
     if not os.path.exists(src):
         raise SkylineUnavailable(f"source not found: {src}")
+    # -march=native: the factor/solve inner loops are FMA chains — the
+    # baseline x86-64 target leaves AVX2/FMA on the table.  The .so is
+    # cached per (source, flags) hash in a per-machine tmp dir, so a
+    # host-specific binary never travels.
+    flags = ["-O3", "-march=native", "-funroll-loops", "-std=c++17",
+             "-shared", "-fPIC", "-fopenmp"]
     with open(src, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+        digest = hashlib.sha256(
+            fh.read() + " ".join(flags).encode()).hexdigest()[:16]
     cache_dir = os.path.join(tempfile.gettempdir(), "nodal_tpu_native")
     os.makedirs(cache_dir, exist_ok=True)
     so_path = os.path.join(cache_dir, f"skyline_{digest}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
-        cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-fopenmp",
-               src, "-o", tmp]
+        cmd = ["g++", *flags, src, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
