@@ -303,3 +303,53 @@ def test_sensitivities_routes_sparse_circuits_through_adjoint():
     scale = max(abs(v) for v in want_i.values())
     for name in want_i:
         assert abs(got_i[name] - want_i[name]) <= 1e-8 * max(scale, 1.0)
+
+
+@pytest.mark.parametrize("seed", [40_003, 40_017, 40_031, 40_049])
+def test_controlled_chain_opmodel_fuzz_vs_dense_oracle(seed):
+    """Round-5 torture seeds: E + VCCS + anomalous-driver chain (CCVS
+    driven by E, CCCS driven by the CCVS — the reference crashes on
+    these, SURVEY Q2) + an OPMODEL follower, solved forward AND
+    transposed through solve_general_auto vs the dense f64 oracle.  A
+    60-circuit one-off sweep ran clean; these seeds pin it."""
+    from nodal_tpu.models.stamps import compile_stamps, stamp_values_np
+    from nodal_tpu.ops.sparse_schur import (solve_general_auto,
+                                            solve_general_auto_transpose)
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(20, 80))
+    rows = []
+    for i in range(n - 1):
+        rows.append([f"rc{i}", "R", f"{rng.uniform(0.3, 5):.5f}",
+                     f"n{i}", f"n{i + 1}"])
+    rows.append(["rg", "R", "1", "n0", "g"])
+    nE = int(rng.integers(0, n))
+    nH = int(rng.integers(0, n))
+    rows.append(["e0", "E", f"{rng.uniform(1, 4):.4f}", f"n{nE}", "g"])
+    rows.append(["d0", "VCCS", "0.3", f"n{rng.integers(0, n)}", "g",
+                 f"n{rng.integers(0, n)}", "g"])
+    rows.append(["h0", "CCVS", "0.7", f"n{nH}", "g", f"n{nE}", "g", "e0"])
+    rows.append(["f0", "CCCS", "0.5", f"n{rng.integers(0, n)}", "g",
+                 f"n{nH}", "g", "h0"])
+    rows.append(["u0", "OPMODEL", "0", "uo", "g",
+                 f"n{int(rng.integers(0, n))}", "uo"])
+    rows.append(["rl", "R", "100", "uo", "g"])
+    st = compile_stamps(Netlist.from_rows(rows))
+    g_vals, rhs_vals = stamp_values_np(st, st.params)
+    G = np.zeros((st.n, st.n))
+    b = np.zeros(st.n)
+    np.add.at(G, (st.g_rows, st.g_cols), g_vals)
+    np.add.at(b, st.rhs_rows, rhs_vals)
+    x_ref = np.linalg.solve(G, b)
+
+    x, info = solve_general_auto(st, tol=1e-10)
+    assert bool(info.converged)
+    err = np.max(np.abs(x - x_ref)) / np.max(np.abs(x_ref))
+    assert err < 1e-7, (err, info.method)
+
+    c = rng.standard_normal(st.n)
+    y, info_t = solve_general_auto_transpose(st, rhs=c, tol=1e-10)
+    assert bool(info_t.converged)
+    y_ref = np.linalg.solve(G.T, c)
+    errt = np.max(np.abs(y - y_ref)) / np.max(np.abs(y_ref))
+    assert errt < 1e-7, (errt, info_t.method)
