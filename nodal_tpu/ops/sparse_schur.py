@@ -396,19 +396,18 @@ def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
         solve_cols = _a11_solver(stamps, plan, a11_vals, cg_tol, backend)
         R = np.zeros((m, n1))
         np.add.at(R, (a12[1], a12[0]), a12[2])
-        # YBT is stored TRANSPOSED ([n1, m] C-contiguous, filled in
-        # column blocks): every consumer wants it that way — the Schur
-        # build A21 @ YBT rides scipy's contiguous fast path and the
-        # back-substitution x1 = y_b − YBT @ x2 is a row-major GEMV.
-        # Materializing [m, n1] and transposing after cost a measured
-        # 46 s of strided copy at m=8192 (np.ascontiguousarray walks the
-        # 2.6 GB transpose element by element).
-        YBT = np.empty((n1, m))
+        # YBT is stored TRANSPOSED ([n1, m] C-contiguous): every consumer
+        # wants it that way — the Schur build A21 @ YBT rides scipy's
+        # contiguous fast path and the back-substitution x1 = y_b − YBT
+        # @ x2 is a row-major GEMV.  Assembly ORDER matters at m=8192
+        # (2.6 GB): fill natural-order [m, n1] rows contiguously, then
+        # one 256-column-blocked transpose (~2 s).  The alternatives
+        # both measured ~20 s+: np.ascontiguousarray of the whole
+        # transpose (element-wise strided walk, 46 s) and writing
+        # 32-wide transposed chunks straight into YBT's column slices
+        # (millions of scattered 256-byte writes across the row pitch).
+        YB = np.empty((m, n1))
         ok = True
-        # Chunk width 32 measured FASTER than 384 for the native tier
-        # too (65-86 s vs ~105 s cold on the 8192-row border): the
-        # 48-lane blocked backsolve's working set stays cache-resident
-        # at 32-wide calls.  Keep one chunk policy for all tiers.
         for lo in range(0, m, _RHS_CHUNK):
             hi = min(lo + _RHS_CHUNK, m)
             # Pass host numpy: solve_cols device_puts its inputs onto its
@@ -418,14 +417,18 @@ def _factorization(stamps: StampTensors, plan: GeneralPlan, g_vals,
             # tier's vmapped CG onto the (emulated-f64, remote-compile)
             # TPU path — measured 309 s vs 2.5 s for one such solve.
             xs, infos = solve_cols(R[lo:hi])
-            YBT[:, lo:hi] = np.asarray(xs).T  # small blocked transpose
+            YB[lo:hi] = np.asarray(xs)
             iters += int(np.sum(np.asarray(infos.iterations)))
             ok = ok and bool(np.all(np.asarray(infos.converged)))
-        if not ok or not np.all(np.isfinite(YBT)):
+        if not ok or not np.all(np.isfinite(YB)):
             logger.error(
                 "AMG-CG stalled on the grounded node block (n1=%d)", n1
             )
             return None, iters
+        YBT = np.empty((n1, m))
+        for i0 in range(0, m, 256):
+            YBT[:, i0:i0 + 256] = YB[i0:i0 + 256].T
+        del YB
 
         # S = A22 - A21 Y_Bᵀ.  Sparse A21 (csr) times the dense YBᵀ: at
         # m=8192 the old broadcast form (a21_v[:,None] * YB[:,a21_c].T +
