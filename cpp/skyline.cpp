@@ -89,13 +89,62 @@ void sk_solve(int64_t n, const int32_t* jmin, const int64_t* rowptr,
 // transposed to [n, cb] so the innermost loop runs contiguously over the
 // RHS lane while each L entry is loaded ONCE per block — L traffic drops
 // by cb× and the lane loop vectorizes (FMA over 48 doubles).
-void sk_solve_blocked(int64_t n, const int32_t* jmin, const int64_t* rowptr,
-                      const double* sky, const double* diag, double* X,
-                      int64_t c) {
-    const int64_t CB = 48;
+}  // extern "C" (templates cannot carry C linkage)
+
+template <int64_t CB>
+static void sk_solve_block_fixed(int64_t n, const int32_t* jmin,
+                                 const int64_t* rowptr, const double* sky,
+                                 const double* diag, double* X, int64_t b0) {
+    // Fixed-width lane loops: the compiler fully vectorizes/unrolls a
+    // constant trip count where the runtime-cb version keeps a scalar
+    // prologue/epilogue per L entry.
+    double* Xt = new double[(size_t)n * CB];
+    for (int64_t r = 0; r < CB; ++r)
+        for (int64_t i = 0; i < n; ++i)
+            Xt[i * CB + r] = X[(b0 + r) * n + i];
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t ji = jmin[i];
+        const double* Li = sky + rowptr[i] - ji;
+        double* xi = Xt + i * CB;
+        for (int64_t k = ji; k < i; ++k) {
+            const double lik = Li[k];
+            const double* xk = Xt + k * CB;
+            for (int64_t r = 0; r < CB; ++r) xi[r] -= lik * xk[r];
+        }
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        const double di = diag[i];
+        double* xi = Xt + i * CB;
+        for (int64_t r = 0; r < CB; ++r) xi[r] /= di;
+    }
+    for (int64_t i = n - 1; i >= 0; --i) {
+        const int64_t ji = jmin[i];
+        const double* Li = sky + rowptr[i] - ji;
+        const double* xi = Xt + i * CB;
+        for (int64_t k = ji; k < i; ++k) {
+            const double lik = Li[k];
+            double* xk = Xt + k * CB;
+            for (int64_t r = 0; r < CB; ++r) xk[r] -= lik * xi[r];
+        }
+    }
+    for (int64_t r = 0; r < CB; ++r)
+        for (int64_t i = 0; i < n; ++i)
+            X[(b0 + r) * n + i] = Xt[i * CB + r];
+    delete[] Xt;
+}
+
+extern "C" void sk_solve_blocked(int64_t n, const int32_t* jmin,
+                                 const int64_t* rowptr, const double* sky,
+                                 const double* diag, double* X,
+                                 int64_t c) {
+    const int64_t CB = 32;
 #pragma omp parallel for schedule(static) if (c > CB)
     for (int64_t b0 = 0; b0 < c; b0 += CB) {
         const int64_t cb = (c - b0) < CB ? (c - b0) : CB;
+        if (cb == CB) {
+            sk_solve_block_fixed<CB>(n, jmin, rowptr, sky, diag, X, b0);
+            continue;
+        }
         double* Xt = new double[(size_t)n * cb];  // per-block scratch
         // Gather block, transposed: Xt[i*cb + r] = X[(b0+r)*n + i].
         for (int64_t r = 0; r < cb; ++r)
@@ -136,5 +185,3 @@ void sk_solve_blocked(int64_t n, const int32_t* jmin, const int64_t* rowptr,
         delete[] Xt;
     }
 }
-
-}  // extern "C"
