@@ -67,6 +67,8 @@ def test_main_runs_every_stage_at_toy_size():
     assert "stage_errors" not in final, final.get("stage_errors")
     for key in (
         "batched_sustained_solves_per_sec",
+        "batched_raw_sustained_solves_per_sec",
+        "batched_raw_rel_err_vs_f64",
         "sparse40k_cold_s", "sparse40k_rel_residual_f64",
         "midsize_rel_err_vs_f64",
         "sparse_cold_s", "sparse_grad_warm_s",
